@@ -15,6 +15,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+import jax  # noqa: E402
+
+# persistent compilation cache: TV-L1/filter kernels compile once per shape
+jax.config.update("jax_compilation_cache_dir", "/tmp/bnlk_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 @pytest.fixture
