@@ -1,0 +1,171 @@
+"""Sequence-level drivers: the on-device equivalent of nlkalman-seq.sh.
+
+The reference pipeline is a bash loop spawning one process per stage per
+frame, with all interstage data on disk (scripts/nlkalman-seq.sh:56-104,
+smoothing :114-151).  Here the whole recursion runs on device:
+
+- forward filtering is a lax.scan over frames with carry {flt1, flt2}
+  (the recursion state the reference keeps as files, src/main-seq.c:448);
+- each scan step computes TV-L1 backward flow (noisy_t -> flt2_{t-1}),
+  the divergence occlusion mask, warps, and the two filtering passes
+  (pass 2 consumes pass 1's output as basic estimate,
+  src/main-flt.c:356,373);
+- backward RTS smoothing is a reverse lax.scan with carry {smo}, forward
+  flow flt2_t -> smo_{t+1} (scripts/nlkalman-seq.sh:124-151), starting
+  from smo_L = flt2_L (:122).
+
+Frames are (T, H, W, C) float32 RGB in [0, 255]; color conversion to the
+opponent space happens around each filter call exactly like the binaries
+do on load/save (src/main-flt.c:340-342, 376-388), and flow runs on
+Rec.601 luma like the tvl1flow CLI.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from ..core import nlkalman_filter_frame, nlkalman_smooth_frame
+from ..flow import tvl1_flow, occlusion_mask
+from ..flow.tvl1 import luma
+from ..ops.color import rgb2opp, opp2rgb
+from ..ops.warp import warp_bicubic_nan
+from ..params import NLKParams, FilterMode, default_params
+
+
+@dataclasses.dataclass(frozen=True)
+class FlowConfig:
+    """Optical-flow parameters as the pipeline scripts pass them.
+
+    Defaults = the scripts' OPM "1 0.25 0.75" triple per direction
+    (scripts/nlkalman-seq.sh:12,47-51): fscale 1 (half-resolution flow),
+    data weight lambda 0.25, occlusion threshold 0.75.
+    """
+
+    fscale: int = 1
+    lambda_: float = 0.25
+    occ_threshold: float = 0.75
+    tau: float = 0.25
+    theta: float = 0.3
+    nscales: int = 100
+    zfactor: float = 0.5
+    nwarps: int = 5
+    epsilon: float = 0.01
+
+    def flow(self, i0, i1):
+        return tvl1_flow(
+            i0, i1, tau=self.tau, lambda_=self.lambda_, theta=self.theta,
+            nscales=self.nscales, fscale=self.fscale, zfactor=self.zfactor,
+            nwarps=self.nwarps, epsilon=self.epsilon,
+        )
+
+
+def filter_frame_pair(
+    noisy: jnp.ndarray,
+    flt1_prev: jnp.ndarray | None,
+    flt2_prev: jnp.ndarray | None,
+    sigma: float,
+    p1: NLKParams,
+    p2: NLKParams,
+    flow_cfg: FlowConfig = FlowConfig(),
+):
+    """Two-pass filtering of one frame given previous outputs (RGB in/out).
+
+    Returns (flt1, flt2).  With no previous frame this is the spatial-only
+    first-frame path (scripts/nlkalman-seq.sh:34-41).
+    """
+    n_opp = rgb2opp(noisy)
+    if flt2_prev is None:
+        f11 = nlkalman_filter_frame(n_opp, None, None, None, sigma, p1)
+        f21 = nlkalman_filter_frame(n_opp, None, None, f11, sigma, p2)
+        return opp2rgb(f11), opp2rgb(f21)
+
+    flow = flow_cfg.flow(luma(noisy), luma(flt2_prev))
+    occ = occlusion_mask(flow, flow_cfg.occ_threshold)
+    w1, v1 = warp_bicubic_nan(rgb2opp(flt1_prev), flow, occ)
+    f11 = nlkalman_filter_frame(n_opp, w1, v1, None, sigma, p1)
+    w2, v2 = warp_bicubic_nan(rgb2opp(flt2_prev), flow, occ)
+    f21 = nlkalman_filter_frame(n_opp, w2, v2, f11, sigma, p2)
+    return opp2rgb(f11), opp2rgb(f21)
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "p1", "p2", "flow_cfg"))
+def filter_sequence(
+    noisy: jnp.ndarray,
+    sigma: float,
+    p1: NLKParams | None = None,
+    p2: NLKParams | None = None,
+    flow_cfg: FlowConfig = FlowConfig(),
+):
+    """Forward-filter a whole sequence (T, H, W, C) -> (flt1, flt2) stacks."""
+    if p1 is None:
+        p1 = default_params(sigma, FilterMode.FLT1)
+    if p2 is None:
+        p2 = default_params(sigma, FilterMode.FLT2)
+
+    f11_0, f21_0 = filter_frame_pair(noisy[0], None, None, sigma, p1, p2, flow_cfg)
+
+    def step(carry, frame):
+        flt1_prev, flt2_prev = carry
+        f11, f21 = filter_frame_pair(
+            frame, flt1_prev, flt2_prev, sigma, p1, p2, flow_cfg
+        )
+        return (f11, f21), (f11, f21)
+
+    (_, _), (flt1_rest, flt2_rest) = jax.lax.scan(
+        step, (f11_0, f21_0), noisy[1:]
+    )
+    flt1 = jnp.concatenate([f11_0[None], flt1_rest], axis=0)
+    flt2 = jnp.concatenate([f21_0[None], flt2_rest], axis=0)
+    return flt1, flt2
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "ps", "flow_cfg"))
+def smooth_sequence(
+    flt2: jnp.ndarray,
+    sigma: float,
+    ps: NLKParams | None = None,
+    flow_cfg: FlowConfig = FlowConfig(),
+):
+    """Backward RTS smoothing of the filtered stack (T, H, W, C) -> smo1."""
+    if ps is None:
+        ps = default_params(sigma, FilterMode.SMO1)
+
+    smo_last = flt2[-1]
+
+    def step(carry, frame_flt2):
+        smo_next = carry
+        flow = flow_cfg.flow(luma(frame_flt2), luma(smo_next))
+        occ = occlusion_mask(flow, flow_cfg.occ_threshold)
+        w0, v0 = warp_bicubic_nan(rgb2opp(smo_next), flow, occ)
+        smo = opp2rgb(
+            nlkalman_smooth_frame(rgb2opp(frame_flt2), w0, v0, sigma, ps)
+        )
+        return smo, smo
+
+    _, smo_rest = jax.lax.scan(step, smo_last, flt2[:-1], reverse=True)
+    return jnp.concatenate([smo_rest, smo_last[None]], axis=0)
+
+
+def denoise_sequence(
+    noisy: jnp.ndarray,
+    sigma: float,
+    p1: NLKParams | None = None,
+    p2: NLKParams | None = None,
+    ps: NLKParams | None = None,
+    flow_cfg: FlowConfig = FlowConfig(),
+    smoothing: bool = True,
+):
+    """Full pipeline: two-pass forward filtering + backward smoothing.
+
+    Returns (flt1, flt2, smo1) stacks; smo1 is None when smoothing=False
+    (the SPM=="no" mode, scripts/nlkalman-seq.sh:114).
+    """
+    flt1, flt2 = filter_sequence(noisy, sigma, p1, p2, flow_cfg)
+    if not smoothing:
+        return flt1, flt2, None
+    smo1 = smooth_sequence(flt2, sigma, ps, flow_cfg)
+    return flt1, flt2, smo1

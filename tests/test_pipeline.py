@@ -1,0 +1,103 @@
+"""End-to-end pipeline tests: quality gates and C-script parity."""
+
+import os
+import subprocess
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from bwd_nlkalman_tpu.pipeline import (
+    add_noise_sequence, denoise_sequence, filter_sequence, smooth_sequence,
+    sequence_psnr, FlowConfig,
+)
+from bwd_nlkalman_tpu.io import write_tiff, read_tiff
+
+REFBIN = os.environ.get("BNLK_REFBIN", "/tmp/refbuild/bin")
+has_ref = os.path.exists(os.path.join(REFBIN, "nlkalman-seq.sh"))
+
+
+def make_sequence(rng, t, h, w, c=1, dx=2.3, dy=-1.7):
+    """Smooth translating texture, (T, H, W, C) float32 in [0, 255]."""
+    m = 24
+    base = rng.standard_normal((h + 2 * m + 8 * t, w + 2 * m + 8 * t)).astype(np.float32)
+    k = np.exp(-0.5 * (np.arange(-8, 9) / 2.5) ** 2)
+    k /= k.sum()
+    tex = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 0, base)
+    tex = np.apply_along_axis(lambda r: np.convolve(r, k, "same"), 1, tex)
+    tex = (tex - tex.min()) / (tex.max() - tex.min()) * 255.0
+    frames = []
+    for ti in range(t):
+        yy = np.arange(h)[:, None] + m + dy * ti + 4 * t
+        xx = np.arange(w)[None, :] + m + dx * ti + 4 * t
+        y0, x0 = np.floor(yy).astype(int), np.floor(xx).astype(int)
+        fy, fx = yy - y0, xx - x0
+        f = (
+            (1 - fy) * (1 - fx) * tex[y0, x0]
+            + (1 - fy) * fx * tex[y0, x0 + 1]
+            + fy * (1 - fx) * tex[y0 + 1, x0]
+            + fy * fx * tex[y0 + 1, x0 + 1]
+        )
+        frames.append(np.repeat(f[..., None], c, axis=-1))
+    return np.stack(frames).astype(np.float32)
+
+
+@pytest.fixture(scope="module")
+def seq_data():
+    rng = np.random.default_rng(11)
+    clean = make_sequence(rng, t=5, h=72, w=88)
+    sigma = 20.0
+    noisy = add_noise_sequence(clean, sigma, seeds=[1000 + i for i in range(5)])
+    return clean, noisy, sigma
+
+
+def test_full_pipeline_quality(seq_data):
+    clean, noisy, sigma = seq_data
+    flt1, flt2, smo1 = denoise_sequence(jnp.asarray(noisy), sigma)
+    mn = sequence_psnr(clean, noisy)["psnr"]
+    m1 = sequence_psnr(clean, np.asarray(flt1))["psnr"]
+    m2 = sequence_psnr(clean, np.asarray(flt2))["psnr"]
+    ms = sequence_psnr(clean, np.asarray(smo1))["psnr"]
+    # temporal recursion must beat noisy by a wide margin and stack up
+    assert m1 > mn + 6
+    assert m2 > m1
+    assert ms >= m2 - 0.1  # smoothing never substantially hurts
+
+
+def test_filtering_only_mode(seq_data):
+    clean, noisy, sigma = seq_data
+    flt1, flt2, smo1 = denoise_sequence(jnp.asarray(noisy), sigma, smoothing=False)
+    assert smo1 is None
+    assert flt2.shape == noisy.shape
+
+
+@pytest.mark.skipif(not has_ref, reason="reference binaries not built")
+def test_vs_c_script(seq_data, tmp_path):
+    """Full-pipeline PSNR parity with nlkalman-seq.sh on the same frames."""
+    clean, noisy, sigma = seq_data
+    t = noisy.shape[0]
+    seq_pat = str(tmp_path / "n-%03d.tif")
+    for i in range(t):
+        write_tiff(seq_pat % (i + 1), noisy[i])
+    out = tmp_path / "out"
+    # NB: cannot check=True — the reference nlkalman-smo returns 1 on
+    # success (src/main-smo.c:220), so the script's exit code is 1.
+    subprocess.run(
+        ["bash", os.path.join(REFBIN, "nlkalman-seq.sh"),
+         seq_pat, "1", str(t), str(sigma), str(out)],
+        capture_output=True, text=True,
+    )
+    assert (out / f"smo1-{t:03d}.tif").exists()
+    c_flt2 = np.stack([read_tiff(str(out / f"flt2-{i+1:03d}.tif")) for i in range(t)])
+    c_smo1 = np.stack([read_tiff(str(out / f"smo1-{i+1:03d}.tif")) for i in range(t)])
+
+    flt1, flt2, smo1 = denoise_sequence(jnp.asarray(noisy), sigma)
+
+    p_c2 = sequence_psnr(clean, c_flt2)["psnr"]
+    p_j2 = sequence_psnr(clean, np.asarray(flt2))["psnr"]
+    p_cs = sequence_psnr(clean, c_smo1)["psnr"]
+    p_js = sequence_psnr(clean, np.asarray(smo1))["psnr"]
+    print(f"flt2: C {p_c2:.2f} dB vs jax {p_j2:.2f} dB; "
+          f"smo1: C {p_cs:.2f} dB vs jax {p_js:.2f} dB")
+    assert p_j2 > p_c2 - 0.3, f"flt2 parity: C {p_c2:.2f} vs jax {p_j2:.2f}"
+    assert p_js > p_cs - 0.3, f"smo1 parity: C {p_cs:.2f} vs jax {p_js:.2f}"
