@@ -114,6 +114,7 @@ def _idct_patches_flat(x: jnp.ndarray, psz: int, ch: int) -> jnp.ndarray:
     jax.jit,
     static_argnames=(
         "sigma", "prms", "mode", "has_prev", "has_basic", "chunk_sites",
+        "site_rows", "return_accum",
     ),
 )
 def _dense_pass(
@@ -127,6 +128,9 @@ def _dense_pass(
     has_prev: bool,
     has_basic: bool,
     chunk_sites: int,
+    site_rows: tuple | None = None,   # static (start, stop) site rows (local)
+    qy_bounds: jnp.ndarray | None = None,  # (2,) valid local candidate-row range
+    return_accum: bool = False,       # return (out_acc, agg) pre-normalization
 ) -> jnp.ndarray:
     h, w, ch = cur.shape
     psz = prms.patch_sz
@@ -174,8 +178,17 @@ def _dense_pass(
     # radius mask for the temporal (smaller) window
     in_rad_t = (jnp.abs(oy) <= rad_t) & (jnp.abs(ox) <= rad_t)
 
+    if qy_bounds is None:
+        qy_lo, qy_hi = 0, top.hh
+    else:
+        qy_lo, qy_hi = qy_bounds[0], qy_bounds[1]
+
     # site list, padded to a chunk multiple
-    syy, sxx = np.meshgrid(top.sy, top.sx, indexing="ij")
+    step = psz // 2
+    sy = top.sy if site_rows is None else np.arange(
+        site_rows[0], min(site_rows[1], top.hh), step
+    )
+    syy, sxx = np.meshgrid(sy, top.sx, indexing="ij")
     sites = np.stack([syy.reshape(-1), sxx.reshape(-1)], axis=-1)
     n_sites = sites.shape[0]
     n_chunks = -(-n_sites // chunk_sites)
@@ -200,12 +213,16 @@ def _dense_pass(
         out_img, agg = carry
         site, s_ok = inp
         py, px = site[:, 0], site[:, 1]                         # (S,)
+        # under spatial sharding, sites beyond the global patch range are
+        # invalid (their candidates are all masked; this also disables the
+        # smoother's passthrough for them)
+        s_ok = s_ok & (py >= qy_lo) & (py < qy_hi)
         s = py.shape[0]
 
         # --- candidate window ------------------------------------------------
         qy = py[:, None] + oy[None, :]                          # (S, O)
         qx = px[:, None] + ox[None, :]
-        in_rng = (qy >= 0) & (qy < top.hh) & (qx >= 0) & (qx < top.ww)
+        in_rng = (qy >= qy_lo) & (qy < qy_hi) & (qx >= 0) & (qx < top.ww)
 
         xp = xd[py, px]                                         # (S, F)
         wx = xd_p[qy + rad, qx + rad]                           # (S, O, F)
@@ -330,11 +347,14 @@ def _dense_pass(
 
         return (out_img, agg), None
 
-    out0 = jnp.zeros((h, w, ch), cur.dtype)
-    agg0 = jnp.zeros((h, w), cur.dtype)
+    # derive from `cur` so the carry inherits shard_map varying axes
+    out0 = jnp.zeros_like(cur)
+    agg0 = jnp.zeros_like(cur[..., 0])
     (out_img, agg), _ = jax.lax.scan(
         process_chunk, (out0, agg0), (sites_j, site_ok_j)
     )
+    if return_accum:
+        return out_img, agg
 
     # normalize; uncovered pixels copy the input [src/nlkalman.c:940-942]
     covered = agg > 1e-6

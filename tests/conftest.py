@@ -17,6 +17,9 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 import jax  # noqa: E402
 
+# the env var alone does not override the axon TPU plugin — force CPU here
+jax.config.update("jax_platforms", "cpu")
+
 # persistent compilation cache: TV-L1/filter kernels compile once per shape
 jax.config.update("jax_compilation_cache_dir", "/tmp/bnlk_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
