@@ -1,0 +1,16 @@
+"""Command-line tools mirroring the reference binaries and scripts.
+
+| module             | mirrors                              |
+|--------------------|--------------------------------------|
+| nlkalman_flt       | nlkalman-flt (src/main-flt.c)        |
+| nlkalman_smo       | nlkalman-smo (src/main-smo.c)        |
+| tvl1flow           | tvl1flow (lib/tvl1flow/main.c)       |
+| nlkalman_seq       | scripts/nlkalman-seq.sh + -gt.sh     |
+| msnlkalman_seq     | scripts/msnlkalman-seq.sh + -gt.sh   |
+| awgn               | awgn (lib/imscript-lite)             |
+| psnr               | scripts/psnr.sh                      |
+| decompose          | decompose (lib/multiscale)           |
+| recompose          | recompose (lib/multiscale)           |
+
+Run as `python -m bwd_nlkalman_tpu.cli.<tool> ...`.
+"""

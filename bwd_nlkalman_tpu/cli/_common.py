@@ -1,0 +1,43 @@
+"""Shared CLI helpers."""
+
+from __future__ import annotations
+
+import argparse
+
+from ..params import NLKParams
+
+
+def setup_jax():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/bnlk_jax_cache")
+    return jax
+
+
+def add_prms_group(ap: argparse.ArgumentParser, prefix: str, title: str):
+    """Parameter flags named like the reference (src/main-flt.c:83-113)."""
+    g = ap.add_argument_group(title)
+    g.add_argument(f"--{prefix}_p", type=int, default=-1, help="patch size")
+    g.add_argument(f"--{prefix}_sx", type=int, default=-1, help="search radius (spatial)")
+    g.add_argument(f"--{prefix}_st", type=int, default=-1, help="search radius (temporal)")
+    g.add_argument(f"--{prefix}_nx", type=int, default=-1, help="number of similar patches spatial")
+    g.add_argument(f"--{prefix}_nt", type=int, default=-1, help="number of similar patches kalman")
+    g.add_argument(f"--{prefix}_nt_agg", type=int, default=-1, help="aggregated group size")
+    g.add_argument(f"--{prefix}_bx", type=float, default=-1.0, help="noise multiplier spatial")
+    g.add_argument(f"--{prefix}_bt", type=float, default=-1.0, help="noise multiplier kalman")
+    g.add_argument(f"--{prefix}_l", type=float, default=-1.0, help="patch distance lambda")
+
+
+def prms_from_args(args, prefix: str) -> NLKParams:
+    a = vars(args)
+    return NLKParams(
+        patch_sz=a[f"{prefix}_p"],
+        search_sz_x=a[f"{prefix}_sx"],
+        search_sz_t=a[f"{prefix}_st"],
+        npatches_x=a[f"{prefix}_nx"],
+        npatches_t=a[f"{prefix}_nt"],
+        npatches_tagg=a[f"{prefix}_nt_agg"],
+        dista_lambda=a[f"{prefix}_l"],
+        beta_x=a[f"{prefix}_bx"],
+        beta_t=a[f"{prefix}_bt"],
+    )

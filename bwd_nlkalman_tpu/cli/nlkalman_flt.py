@@ -1,0 +1,77 @@
+"""nlkalman-flt equivalent: filter ONE frame (two cascaded passes).
+
+Flags mirror src/main-flt.c:71-117; a -1 value means "auto" (resolved
+from sigma like nlkalman_default_params).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from ._common import add_prms_group, prms_from_args, setup_jax
+from ..io import read_image, write_image
+from ..params import FilterMode, default_params
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="nlkalman-flt", description=__doc__)
+    io = ap.add_argument_group("Data i/o options")
+    io.add_argument("-i", "--nisy", required=True, help="input noisy frame path")
+    io.add_argument("-o", "--bflo", default=None, help="input bwd flow path")
+    io.add_argument("-k", "--bocc", default=None, help="input bwd occlusion mask path")
+    io.add_argument("--flt10", default=None, help="input previous first filtering path")
+    io.add_argument("--flt20", default=None, help="input previous second filtering path")
+    io.add_argument("--flt11", default=None, help="input/output first filtering path")
+    io.add_argument("--flt21", default=None, help="output second filtering path")
+    io.add_argument("-s", "--sigma", type=float, required=True, help="noise standard dev")
+    add_prms_group(ap, "f1", "First filtering options")
+    add_prms_group(ap, "f2", "Second filtering options")
+    ap.add_argument("-v", "--verbose", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    setup_jax()
+    import jax.numpy as jnp
+    from ..core import nlkalman_filter_frame
+    from ..ops.color import rgb2opp, opp2rgb
+    from ..ops.warp import warp_bicubic_nan
+
+    apply_f1 = args.f1_p != 0
+    apply_f2 = args.f2_p != 0
+    p1 = default_params(args.sigma, FilterMode.FLT1, prms_from_args(args, "f1"))
+    p2 = default_params(args.sigma, FilterMode.FLT2, prms_from_args(args, "f2"))
+
+    nisy = jnp.asarray(read_image(args.nisy))
+    bflo = jnp.asarray(read_image(args.bflo)) if args.bflo else None
+    bocc = jnp.asarray(read_image(args.bocc)[..., 0]) if args.bocc else None
+    n_opp = rgb2opp(nisy)
+
+    def load_warp(path):
+        if path is None or bflo is None:
+            return None, None
+        img = rgb2opp(jnp.asarray(read_image(path)))
+        return warp_bicubic_nan(img, bflo, bocc)
+
+    flt11 = None
+    if apply_f1:
+        w0, v0 = load_warp(args.flt10)
+        flt11 = nlkalman_filter_frame(n_opp, w0, v0, None, args.sigma, p1)
+    elif args.flt11:
+        flt11 = rgb2opp(jnp.asarray(read_image(args.flt11)))
+
+    flt21 = None
+    if apply_f2:
+        w0, v0 = load_warp(args.flt20)
+        flt21 = nlkalman_filter_frame(n_opp, w0, v0, flt11, args.sigma, p2)
+        if args.flt21:
+            write_image(args.flt21, np.asarray(opp2rgb(flt21)))
+
+    if apply_f1 and args.flt11:
+        write_image(args.flt11, np.asarray(opp2rgb(flt11)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

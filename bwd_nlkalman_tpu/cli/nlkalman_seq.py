@@ -1,0 +1,94 @@
+"""nlkalman-seq equivalent: denoise a whole frame sequence.
+
+Mirrors scripts/nlkalman-seq.sh (and with --gt-pattern, the noise+PSNR
+harness of nlkalman-seq-gt.sh): reads pattern%first..%last, runs the
+on-device pipeline, writes flt1-/flt2-/smo1-%03d.tif into the output
+folder plus a `measures` file when ground truth is given.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+from ._common import setup_jax
+from ..io import read_video, write_image
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="nlkalman-seq", description=__doc__)
+    ap.add_argument("sequence", help="printf frame pattern, e.g. frames/%%03d.png")
+    ap.add_argument("first", type=int)
+    ap.add_argument("last", type=int)
+    ap.add_argument("sigma", type=float)
+    ap.add_argument("output", help="output folder")
+    ap.add_argument("--no-smoothing", action="store_true",
+                    help='SPM=="no" mode (filtering only)')
+    ap.add_argument("--multiscale", action="store_true",
+                    help="msnlkalman multiscale pipeline")
+    ap.add_argument("--levels", type=int, default=None, help="pyramid levels")
+    ap.add_argument("--gt-pattern", default=None,
+                    help="clean frame pattern: add noise here, report PSNR")
+    ap.add_argument("--seed", type=int, default=0, help="noise seed base (with --gt-pattern)")
+    ap.add_argument("--fscale", type=int, default=1)
+    ap.add_argument("--flow-lambda", type=float, default=0.25)
+    ap.add_argument("--occ-threshold", type=float, default=0.75)
+    args = ap.parse_args(argv)
+
+    setup_jax()
+    import jax.numpy as jnp
+    from ..pipeline import (
+        denoise_sequence, add_noise_sequence, gt_measures, sequence_psnr, FlowConfig,
+    )
+    from ..pipeline.multiscale import ms_denoise_sequence
+
+    os.makedirs(args.output, exist_ok=True)
+    t = args.last - args.first + 1
+
+    clean = None
+    if args.gt_pattern:
+        clean = read_video(args.gt_pattern, args.first, args.last)
+        noisy = add_noise_sequence(clean, args.sigma,
+                                   seeds=[args.seed + i for i in range(t)])
+        for i in range(t):
+            write_image(os.path.join(args.output, f"nisy-{args.first+i:03d}.tif"), noisy[i])
+    else:
+        noisy = read_video(args.sequence, args.first, args.last)
+
+    if args.multiscale:
+        flt1, flt2, smo1 = ms_denoise_sequence(
+            jnp.asarray(noisy), args.sigma, levels=args.levels,
+            smoothing=not args.no_smoothing,
+        )
+    else:
+        cfg = FlowConfig(fscale=args.fscale, lambda_=args.flow_lambda,
+                         occ_threshold=args.occ_threshold)
+        flt1, flt2, smo1 = denoise_sequence(
+            jnp.asarray(noisy), args.sigma, flow_cfg=cfg,
+            smoothing=not args.no_smoothing,
+        )
+
+    stacks = {"flt1": np.asarray(flt1), "flt2": np.asarray(flt2)}
+    if smo1 is not None:
+        stacks["smo1"] = np.asarray(smo1)
+    for name, stack in stacks.items():
+        for i in range(t):
+            write_image(
+                os.path.join(args.output, f"{name}-{args.first+i:03d}.tif"), stack[i]
+            )
+
+    if clean is not None:
+        text = gt_measures(clean, stacks)
+        with open(os.path.join(args.output, "measures"), "w") as f:
+            f.write(text)
+        parts = [f"noisy {sequence_psnr(clean, noisy)['psnr']:.2f}"]
+        parts += [f"{k} {sequence_psnr(clean, v)['psnr']:.2f}" for k, v in stacks.items()]
+        print("PSNR(dB): " + "  ".join(parts))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,49 @@
+"""nlkalman-smo equivalent: RTS-smooth ONE frame (src/main-smo.c)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from ._common import add_prms_group, prms_from_args, setup_jax
+from ..io import read_image, write_image
+from ..params import FilterMode, default_params
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="nlkalman-smo", description=__doc__)
+    io = ap.add_argument_group("Data i/o options")
+    io.add_argument("--flt1", required=True, help="input filtered frame t")
+    io.add_argument("--smo0", required=True, help="input smoothed frame t+1")
+    io.add_argument("-o", "--fflo", default=None, help="input fwd flow path")
+    io.add_argument("-k", "--focc", default=None, help="input fwd occlusion mask path")
+    io.add_argument("--smo1", required=True, help="output smoothed frame t")
+    io.add_argument("-s", "--sigma", type=float, required=True, help="noise standard dev")
+    add_prms_group(ap, "s1", "Smoothing options")
+    ap.add_argument("-v", "--verbose", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    setup_jax()
+    import jax.numpy as jnp
+    from ..core import nlkalman_smooth_frame
+    from ..ops.color import rgb2opp, opp2rgb
+    from ..ops.warp import warp_bicubic_nan
+
+    ps = default_params(args.sigma, FilterMode.SMO1, prms_from_args(args, "s1"))
+    flt1 = rgb2opp(jnp.asarray(read_image(args.flt1)))
+    smo0 = rgb2opp(jnp.asarray(read_image(args.smo0)))
+    if args.fflo:
+        fflo = jnp.asarray(read_image(args.fflo))
+        focc = jnp.asarray(read_image(args.focc)[..., 0]) if args.focc else None
+        smo0, valid = warp_bicubic_nan(smo0, fflo, focc)
+    else:
+        valid = None
+    smo1 = nlkalman_smooth_frame(flt1, smo0, valid, args.sigma, ps)
+    write_image(args.smo1, np.asarray(opp2rgb(smo1)))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
