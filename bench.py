@@ -39,13 +39,12 @@ def main():
     cfg = FlowConfig()
 
     @jax.jit
-    def seq_step(noisy_frames, f1, f2):
-        def body(carry, frame):
-            f1, f2 = carry
-            nf1, nf2 = filter_frame_pair(frame, f1, f2, sigma, p1, p2, cfg)
-            return (nf1, nf2), ()
+    def frame_step(frame, f1, f2):
+        return filter_frame_pair(frame, f1, f2, sigma, p1, p2, cfg)
 
-        (f1, f2), _ = jax.lax.scan(body, (f1, f2), noisy_frames)
+    def seq_step(noisy_frames, f1, f2):
+        for t in range(noisy_frames.shape[0]):
+            f1, f2 = frame_step(noisy_frames[t], f1, f2)
         return f1, f2
 
     rng = np.random.default_rng(0)
@@ -62,8 +61,8 @@ def main():
         # not await remote completion on the tunneled axon platform)
         return np.asarray(jax.device_get(o[0][:1, :1]))
 
-    # warmup/compile at the exact benchmark shape
-    sync(seq_step(noisy, f1, f2))
+    # warmup/compile (per-frame step compiles once)
+    sync(seq_step(noisy[:1], f1, f2))
 
     t0 = time.perf_counter()
     sync(seq_step(noisy, f1, f2))
