@@ -382,6 +382,7 @@ def nlkalman_filter_frame(
     sigma: float,
     prms: NLKParams,
     chunk_sites: int | None = None,
+    engine: str = "v2",
 ) -> jnp.ndarray:
     """One NL-Kalman filtering pass over a frame (OPP color space).
 
@@ -402,6 +403,14 @@ def nlkalman_filter_frame(
     else:
         deno0 = jnp.where(prev_valid[..., None], deno0, 0.0)
     basic = bsic1 if has_basic else nisy
+    if engine == "v2":
+        from .engine import dense_pass_v2, auto_rows_per_block
+
+        rb = auto_rows_per_block(w, ch, prms.patch_sz, prms.search_sz_x)
+        return dense_pass_v2(
+            nisy, deno0, prev_valid, basic, float(sigma), prms, "filter",
+            has_prev, has_basic, rb,
+        )
     if chunk_sites is None:
         chunk_sites = _auto_chunk(h, w, ch, prms.patch_sz, prms.search_sz_x)
     return _dense_pass(
@@ -418,6 +427,7 @@ def nlkalman_smooth_frame(
     prms: NLKParams,
     bsic1: jnp.ndarray | None = None,
     chunk_sites: int | None = None,
+    engine: str = "v2",
 ) -> jnp.ndarray:
     """One RTS smoothing pass (OPP space).
 
@@ -435,6 +445,14 @@ def nlkalman_smooth_frame(
     else:
         smoo0 = jnp.where(prev_valid[..., None], smoo0, 0.0)
     basic = bsic1 if has_basic else filt1
+    if engine == "v2":
+        from .engine import dense_pass_v2, auto_rows_per_block
+
+        rb = auto_rows_per_block(w, ch, prms.patch_sz, prms.search_sz_t)
+        return dense_pass_v2(
+            filt1, smoo0, prev_valid, basic, float(sigma), prms, "smooth",
+            has_prev, has_basic, rb,
+        )
     if chunk_sites is None:
         chunk_sites = _auto_chunk(h, w, ch, prms.patch_sz, prms.search_sz_t)
     return _dense_pass(

@@ -17,12 +17,30 @@ import numpy as np
 _FLO_MAGIC = 202021.25  # Middlebury sanity check (lib/iio/iio.c:2073-2090)
 
 
+def _native():
+    """The C++ codec library, when built and not disabled."""
+    if os.environ.get("BNLK_NO_NATIVE"):
+        return None
+    try:
+        from .. import native
+
+        return native if native.available() else None
+    except Exception:
+        return None
+
+
 # ---------------------------------------------------------------------------
 # dispatch
 # ---------------------------------------------------------------------------
 
 
 def read_image(path: str) -> np.ndarray:
+    nat = _native()
+    if nat is not None:
+        try:
+            return nat.read_image(path)
+        except Exception:
+            pass
     ext = os.path.splitext(path)[1].lower()
     if ext == ".flo":
         return read_flo(path)
@@ -37,6 +55,22 @@ def read_image(path: str) -> np.ndarray:
 
 def write_image(path: str, img: np.ndarray) -> None:
     ext = os.path.splitext(path)[1].lower()
+    nat = _native()
+    if nat is not None:
+        try:
+            img3 = np.asarray(img)
+            if ext == ".flo":
+                return nat.write_flo(path, img3)
+            if ext == ".pfm":
+                return nat.write_pfm(path, img3)
+            if ext == ".png":
+                depth = 16 if (img3.dtype == np.uint16
+                               or np.nanmax(img3, initial=0) > 255.5) else 8
+                return nat.write_png(path, img3.astype(np.float32), depth)
+            if ext in (".tif", ".tiff"):
+                return nat.write_tiff(path, img3)
+        except Exception:
+            pass
     if ext == ".flo":
         return write_flo(path, img)
     if ext == ".pfm":

@@ -29,6 +29,7 @@ import functools
 import math
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -148,14 +149,27 @@ def dct_image_all_patches(img: jnp.ndarray, psz: int) -> jnp.ndarray:
     """
     h, w, c = img.shape
     hh, ww = h - psz + 1, w - psz + 1
-    d = jnp.asarray(_ortho_basis_np(psz), dtype=img.dtype)
+    d = _ortho_basis_np(psz)
 
-    # rows: A[k, y, x, c] = sum_i D[k, i] img[y + i, x, c]
-    rows = jnp.stack([img[i : i + hh] for i in range(psz)], axis=0)  # (psz,hh,w,c)
-    a = jnp.einsum("ki,iyxc->kyxc", d, rows, precision="highest")
-
-    # cols: B[k, l, y, x, c] = sum_j D[l, j] A[k, y, x + j, c]
-    cols = jnp.stack([a[:, :, j : j + ww] for j in range(psz)], axis=0)
-    b = jnp.einsum("lj,jkyxc->yxckl", d, cols, precision="highest")
-
-    return b.reshape(hh, ww, c * psz * psz)
+    # separable shifted-FMA formulation: exact f32, VPU/HBM-bound, and far
+    # cheaper to compile than a HIGHEST-precision conv on this backend.
+    outs = []
+    for ci in range(c):
+        im = img[..., ci]
+        # rows: A[k] = sum_i D[k,i] im[i:i+hh, :]
+        rows = [None] * psz
+        for k in range(psz):
+            acc = None
+            for i in range(psz):
+                t = d[k, i] * im[i : i + hh, :]
+                acc = t if acc is None else acc + t
+            rows[k] = acc                                   # (hh, w)
+        # cols: B[k,l] = sum_j D[l,j] A[k][:, j:j+ww]
+        for k in range(psz):
+            for l in range(psz):
+                acc = None
+                for j in range(psz):
+                    t = d[l, j] * rows[k][:, j : j + ww]
+                    acc = t if acc is None else acc + t
+                outs.append(acc)                            # (hh, ww)
+    return jnp.stack(outs, axis=-1)                         # (hh, ww, c*psz*psz)

@@ -6,5 +6,7 @@ from .sequence import (  # noqa: F401
     filter_sequence,
     smooth_sequence,
     denoise_sequence,
+    fsmo_sequence,
+    lsmo_sequence,
 )
 from .gt import add_noise_sequence, sequence_psnr, gt_measures  # noqa: F401

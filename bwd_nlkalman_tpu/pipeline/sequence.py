@@ -150,6 +150,77 @@ def smooth_sequence(
     return jnp.concatenate([smo_rest, smo_last[None]], axis=0)
 
 
+@functools.partial(jax.jit, static_argnames=("sigma", "p1", "p2", "ps", "flow_cfg"))
+def fsmo_sequence(
+    noisy: jnp.ndarray,
+    sigma: float,
+    p1: NLKParams | None = None,
+    p2: NLKParams | None = None,
+    ps: NLKParams | None = None,
+    flow_cfg: FlowConfig = FlowConfig(),
+):
+    """Causal forward smoothing interleaved with filtering
+    (scripts/nlkalman-fsmo-seq.sh:60-94): frame t is smoothed against
+    smo_{t-1}, reusing the backward flow/occlusions of the filter step;
+    smo_first = flt2_first (:58).  Returns (flt1, flt2, smo1)."""
+    if p1 is None:
+        p1 = default_params(sigma, FilterMode.FLT1)
+    if p2 is None:
+        p2 = default_params(sigma, FilterMode.FLT2)
+    if ps is None:
+        ps = default_params(sigma, FilterMode.SMO1)
+
+    f11_0, f21_0 = filter_frame_pair(noisy[0], None, None, sigma, p1, p2, flow_cfg)
+    smo_0 = f21_0
+
+    def step(carry, frame):
+        flt1_prev, flt2_prev, smo_prev = carry
+        flow = flow_cfg.flow(luma(frame), luma(flt2_prev))
+        occ = occlusion_mask(flow, flow_cfg.occ_threshold)
+        n_opp = rgb2opp(frame)
+        w1, v1 = warp_bicubic_nan(rgb2opp(flt1_prev), flow, occ)
+        f11 = nlkalman_filter_frame(n_opp, w1, v1, None, sigma, p1)
+        w2, v2 = warp_bicubic_nan(rgb2opp(flt2_prev), flow, occ)
+        f21 = nlkalman_filter_frame(n_opp, w2, v2, f11, sigma, p2)
+        f21_rgb = opp2rgb(f21)
+        ws, vs = warp_bicubic_nan(rgb2opp(smo_prev), flow, occ)
+        smo = opp2rgb(nlkalman_smooth_frame(f21, ws, vs, sigma, ps))
+        f11_rgb = opp2rgb(f11)
+        return (f11_rgb, f21_rgb, smo), (f11_rgb, f21_rgb, smo)
+
+    _, (f1r, f2r, smr) = jax.lax.scan(step, (f11_0, f21_0, smo_0), noisy[1:])
+    flt1 = jnp.concatenate([f11_0[None], f1r], axis=0)
+    flt2 = jnp.concatenate([f21_0[None], f2r], axis=0)
+    smo1 = jnp.concatenate([smo_0[None], smr], axis=0)
+    return flt1, flt2, smo1
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "ps", "flow_cfg"))
+def lsmo_sequence(
+    flt2: jnp.ndarray,
+    sigma: float,
+    ps: NLKParams | None = None,
+    flow_cfg: FlowConfig = FlowConfig(),
+):
+    """Lag-1 smoother (scripts/nlkalman-lsmo-seq.sh:87-118): after frame t
+    is filtered, frame t-1 is smoothed against flt2_t along the forward
+    flow flt2_{t-1} -> flt2_t; the last frame passes through."""
+    if ps is None:
+        ps = default_params(sigma, FilterMode.SMO1)
+
+    def step(_, pair):
+        f_prev, f_cur = pair
+        flow = flow_cfg.flow(luma(f_prev), luma(f_cur))
+        occ = occlusion_mask(flow, flow_cfg.occ_threshold)
+        w0, v0 = warp_bicubic_nan(rgb2opp(f_cur), flow, occ)
+        lsm = opp2rgb(nlkalman_smooth_frame(rgb2opp(f_prev), w0, v0, sigma, ps))
+        return 0, lsm
+
+    pairs = (flt2[:-1], flt2[1:])
+    _, lsm = jax.lax.scan(step, 0, pairs)
+    return jnp.concatenate([lsm, flt2[-1:]], axis=0)
+
+
 def denoise_sequence(
     noisy: jnp.ndarray,
     sigma: float,

@@ -1,0 +1,9 @@
+"""Parameter-search harness (the dev-scripts training family)."""
+
+from .search import (  # noqa: F401
+    TrialResult,
+    evaluate,
+    random_search,
+    coordinate_descent,
+    format_table_row,
+)

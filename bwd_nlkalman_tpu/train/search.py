@@ -1,0 +1,180 @@
+"""Parameter search: random search and discrete coordinate descent.
+
+TPU-native equivalent of the reference's training harness
+(scripts/dev-scripts): random search over (np, beta_x, beta_t, lambda) at
+fixed patch/search sizes (train.sh:40-102), and discrete coordinate
+descent over the group-size parameters (train-nn-smoothing.sh:147-288).
+The evaluation protocol mirrors nlkalman-train.sh: fixed noise fixtures,
+mean PSNR over sequences, measured from a burn-in frame (:43-50) with an
+optional border crop (:35).
+
+Results accumulate in the 16-column table format of
+scripts/dev-scripts/run-nlk-set.sh:94-96:
+sigma f1_nx f1_bx f1_nt f1_ntagg f1_bt f2_nx f2_bx f2_nt f2_ntagg f2_bt
+s1_nt s1_bt f1_mse f2_mse s1_mse
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..params import NLKParams, FilterMode, default_params
+from ..pipeline import add_noise_sequence, denoise_sequence, sequence_psnr
+
+
+@dataclasses.dataclass
+class TrialResult:
+    sigma: float
+    p1: NLKParams
+    p2: NLKParams
+    ps: NLKParams
+    mse: dict          # {"flt1": .., "flt2": .., "smo1": ..}
+    psnr: dict
+
+
+def format_table_row(r: TrialResult) -> str:
+    """16-column row (run-nlk-set.sh:94-96)."""
+    return (
+        f"{r.sigma:3.0f} "
+        f"{r.p1.npatches_x:3d} {r.p1.beta_x:6.3f} {r.p1.npatches_t:3d} "
+        f"{r.p1.npatches_tagg:3d} {r.p1.beta_t:6.3f} "
+        f"{r.p2.npatches_x:3d} {r.p2.beta_x:6.3f} {r.p2.npatches_t:3d} "
+        f"{r.p2.npatches_tagg:3d} {r.p2.beta_t:6.3f} "
+        f"{r.ps.npatches_t:3d} {r.ps.beta_t:6.3f} "
+        f"{r.mse['flt1']:9.4f} {r.mse['flt2']:9.4f} {r.mse['smo1']:9.4f}"
+    )
+
+
+def evaluate(
+    clean_seqs,
+    sigma: float,
+    p1: NLKParams,
+    p2: NLKParams,
+    ps: NLKParams,
+    seeds=None,
+    first_frame: int = 10,
+    border: int = 10,
+    smoothing: bool = True,
+) -> TrialResult:
+    """Mean per-stage MSE/PSNR of one parameter set over clean sequences."""
+    import jax.numpy as jnp
+
+    mses = {"flt1": [], "flt2": [], "smo1": []}
+    psnrs = {"flt1": [], "flt2": [], "smo1": []}
+    for si, clean in enumerate(clean_seqs):
+        t = clean.shape[0]
+        seq_seeds = (
+            [1000 * si + i for i in range(t)] if seeds is None else seeds[si]
+        )
+        noisy = add_noise_sequence(np.asarray(clean, np.float32), sigma, seq_seeds)
+        flt1, flt2, smo1 = denoise_sequence(
+            jnp.asarray(noisy), sigma, p1, p2, ps, smoothing=smoothing
+        )
+        ff = min(first_frame, t - 1)
+        stacks = {"flt1": np.asarray(flt1), "flt2": np.asarray(flt2)}
+        if smo1 is not None:
+            stacks["smo1"] = np.asarray(smo1)
+        for k, v in stacks.items():
+            m = sequence_psnr(clean, v, first_frame=ff, border=border)
+            mses[k].append(m["mse"])
+            psnrs[k].append(m["psnr"])
+    agg_mse = {k: float(np.mean(v)) if v else float("nan") for k, v in mses.items()}
+    agg_psnr = {k: float(np.mean(v)) if v else float("nan") for k, v in psnrs.items()}
+    return TrialResult(sigma, p1, p2, ps, agg_mse, agg_psnr)
+
+
+def random_search(
+    clean_seqs,
+    sigma: float,
+    n_trials: int,
+    rng=None,
+    table_path: str | None = None,
+    first_frame: int = 10,
+    smoothing: bool = False,
+):
+    """Random search a la train.sh:40-102: samples np in [0,99),
+    beta_x in [0,8), beta_t in [2,12), lambda in [0,1) at p=8, w=10."""
+    if rng is None:
+        rng = np.random.default_rng(0)
+    results = []
+    for _ in range(n_trials):
+        npx = int(rng.integers(1, 99))
+        bx = float(rng.uniform(0, 8))
+        bt = float(rng.uniform(2, 12))
+        lam = float(rng.uniform(0, 1))
+        base = NLKParams(
+            patch_sz=8, search_sz_x=10, search_sz_t=5,
+            npatches_x=npx, npatches_t=npx, npatches_tagg=min(npx, 20),
+            dista_lambda=lam, beta_x=bx, beta_t=bt,
+        )
+        p2 = default_params(sigma, FilterMode.FLT2)
+        ps = default_params(sigma, FilterMode.SMO1)
+        r = evaluate(clean_seqs, sigma, base, p2, ps,
+                     first_frame=first_frame, smoothing=smoothing)
+        results.append(r)
+        if table_path:
+            with open(table_path, "a") as fh:
+                fh.write(format_table_row(r) + "\n")
+    results.sort(key=lambda r: r.mse["flt2"])
+    return results
+
+
+def coordinate_descent(
+    clean_seqs,
+    sigma: float,
+    fields=("f1_nx", "f1_nt", "f1_ntagg", "f2_nx", "f2_nt", "s1_nt"),
+    step: int = 5,
+    max_rounds: int = 3,
+    objective: str = "smo1",
+    first_frame: int = 10,
+    table_path: str | None = None,
+):
+    """Discrete coordinate descent (train-nn-smoothing.sh:147-288): walk
+    each group-size field by +-step while the objective MSE improves."""
+    p1 = default_params(sigma, FilterMode.FLT1)
+    p2 = default_params(sigma, FilterMode.FLT2)
+    ps = default_params(sigma, FilterMode.SMO1)
+
+    def get(field, p1, p2, ps):
+        obj = {"f1": p1, "f2": p2, "s1": ps}[field[:2]]
+        attr = {"nx": "npatches_x", "nt": "npatches_t", "ntagg": "npatches_tagg"}[
+            field.split("_")[1]
+        ]
+        return obj, attr
+
+    def with_field(field, val, p1, p2, ps):
+        obj, attr = get(field, p1, p2, ps)
+        new = dataclasses.replace(obj, **{attr: max(1, val)})
+        return {
+            "f1": (new, p2, ps), "f2": (p1, new, ps), "s1": (p1, p2, new)
+        }[field[:2]]
+
+    best = evaluate(clean_seqs, sigma, p1, p2, ps, first_frame=first_frame)
+    history = [best]
+    for _ in range(max_rounds):
+        improved = False
+        for field in fields:
+            for direction in (+1, -1):
+                while True:
+                    obj, attr = get(field, p1, p2, ps)
+                    cand_val = getattr(obj, attr) + direction * step
+                    if cand_val < 1:
+                        break
+                    c1, c2, cs = with_field(field, cand_val, p1, p2, ps)
+                    r = evaluate(clean_seqs, sigma, c1, c2, cs,
+                                 first_frame=first_frame)
+                    history.append(r)
+                    if table_path:
+                        with open(table_path, "a") as fh:
+                            fh.write(format_table_row(r) + "\n")
+                    if r.mse[objective] < best.mse[objective]:
+                        best = r
+                        p1, p2, ps = c1, c2, cs
+                        improved = True
+                    else:
+                        break
+        if not improved:
+            break
+    return best, history

@@ -1,0 +1,104 @@
+"""plambda/imprintf/profiling/train/stream/fsmo-lsmo coverage."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from bwd_nlkalman_tpu.utils import plambda, imprintf, StageTimer
+from bwd_nlkalman_tpu.flow import occlusion_mask
+
+
+def test_plambda_squared_error(rng):
+    a = rng.standard_normal((6, 7, 1)).astype(np.float32)
+    b = rng.standard_normal((6, 7, 1)).astype(np.float32)
+    out = plambda("x y - 2 ^", a, b)
+    np.testing.assert_allclose(out, (a - b) ** 2, rtol=1e-6)
+
+
+def test_plambda_occlusion_formula_matches_op(rng):
+    """The script's plambda expression must equal flow.occlusion_mask."""
+    flow = (3 * rng.standard_normal((12, 14, 2))).astype(np.float32)
+    expr = "x(0,0)[0] x(-1,0)[0] - x(0,0)[1] x(0,-1)[1] - + fabs 0.75 > 255 *"
+    out = plambda(expr, flow)[..., 0]
+    ref = np.asarray(occlusion_mask(jnp.asarray(flow), 0.75))
+    np.testing.assert_array_equal(out, ref)
+
+
+def test_plambda_stats(rng):
+    a = rng.standard_normal((5, 5, 1)).astype(np.float32)
+    out = plambda("x x%v -", a)
+    np.testing.assert_allclose(out, a - a.mean(), rtol=1e-5, atol=1e-5)
+
+
+def test_imprintf(rng):
+    a = np.arange(12, dtype=np.float32).reshape(3, 4)
+    assert imprintf("%N", a) == "12"
+    assert imprintf("%v", a) == "5.5"
+    assert imprintf("min=%i max=%a", a) == "min=0 max=11"
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("a"):
+        sum(range(1000))
+    out = t.measure("b", lambda: np.zeros(3))
+    assert out.shape == (3,)
+    rep = t.report()
+    assert "a" in rep and "b" in rep
+
+
+def test_train_random_search_smoke():
+    from bwd_nlkalman_tpu.train import random_search
+    from test_pipeline import make_sequence
+
+    clean = make_sequence(np.random.default_rng(2), t=3, h=48, w=48)
+    res = random_search([clean], 20.0, n_trials=2, first_frame=1)
+    assert len(res) == 2
+    assert res[0].mse["flt2"] <= res[1].mse["flt2"]
+    from bwd_nlkalman_tpu.train import format_table_row
+
+    row = format_table_row(res[0])
+    assert len(row.split()) == 16
+
+
+def test_streaming_matches_scan(tmp_path):
+    from bwd_nlkalman_tpu.pipeline import filter_sequence, add_noise_sequence
+    from bwd_nlkalman_tpu.pipeline.stream import StreamingDenoiser
+    from test_pipeline import make_sequence
+
+    clean = make_sequence(np.random.default_rng(4), t=3, h=48, w=48)
+    noisy = add_noise_sequence(clean, 20.0, seeds=[1, 2, 3])
+    flt1_ref, flt2_ref = filter_sequence(jnp.asarray(noisy), 20.0)
+
+    sd = StreamingDenoiser(20.0)
+    outs = [sd.step(noisy[i]) for i in range(3)]
+    np.testing.assert_allclose(outs[-1][1], np.asarray(flt2_ref[-1]), atol=1e-3)
+
+    # checkpoint/resume mid-sequence
+    sd2 = StreamingDenoiser(20.0)
+    sd2.step(noisy[0])
+    ck = str(tmp_path / "state.npz")
+    sd2.save_state(ck)
+    sd3 = StreamingDenoiser(20.0)
+    sd3.load_state(ck)
+    sd3.step(noisy[1])
+    f1, f2 = sd3.step(noisy[2])
+    np.testing.assert_allclose(f2, outs[-1][1], atol=1e-3)
+
+
+def test_fsmo_lsmo_quality():
+    from bwd_nlkalman_tpu.pipeline import (
+        add_noise_sequence, fsmo_sequence, lsmo_sequence, filter_sequence,
+        sequence_psnr,
+    )
+    from test_pipeline import make_sequence
+
+    clean = make_sequence(np.random.default_rng(6), t=4, h=56, w=56)
+    noisy = add_noise_sequence(clean, 20.0, seeds=[11, 12, 13, 14])
+    flt1, flt2, smo = fsmo_sequence(jnp.asarray(noisy), 20.0)
+    p2 = sequence_psnr(clean, np.asarray(flt2))["psnr"]
+    psm = sequence_psnr(clean, np.asarray(smo))["psnr"]
+    assert psm >= p2 - 0.3
+    lsm = lsmo_sequence(flt2, 20.0)
+    plm = sequence_psnr(clean, np.asarray(lsm))["psnr"]
+    assert plm >= p2 - 0.3
