@@ -60,16 +60,32 @@ def _kth_smallest_bits(bits: jnp.ndarray, k: jnp.ndarray, axis: int = 0):
     return jnp.where(k <= 0, -1, hi)
 
 
-def _build_window(band: jnp.ndarray, rb: int, nx: int, rad: int, step: int):
-    """(BH, WP, ...) band -> (O, rb, nx, ...) window tensor via static
-    strided slices; O = (2 rad + 1)^2, offset order oy-major."""
+def _phase_cols(arr: jnp.ndarray, step: int) -> jnp.ndarray:
+    """(rows, cols, ...) -> (rows, step, cols/step, ...): column phase split
+    so window slices become contiguous along the site axis."""
+    r, c = arr.shape[0], arr.shape[1]
+    rest = arr.shape[2:]
+    out = arr.reshape((r, c // step, step) + rest)
+    return jnp.moveaxis(out, 2, 1)
+
+
+def _build_window(band_ph: jnp.ndarray, rb: int, nx: int, rad: int, step: int,
+                  pad_l: int):
+    """Phased band (BH, step, WQ, ...) -> (O, rb, nx, ...) window tensor.
+
+    All slices are contiguous along the site axis: the site grid has
+    stride `step`, so after the column phase split the candidates at a
+    fixed offset are a unit-stride run.  Offset order oy-major.
+    """
     n_off = 2 * rad + 1
     rows = jnp.stack(
-        [band[oy : oy + step * rb : step] for oy in range(n_off)], axis=0
-    )  # (n_off, rb, WP, ...)
-    cols = jnp.stack(
-        [rows[:, :, ox : ox + step * nx : step] for ox in range(n_off)], axis=1
-    )  # (n_off, n_off, rb, nx, ...)
+        [band_ph[oy : oy + step * rb : step] for oy in range(n_off)], axis=0
+    )  # (n_off, rb, step, WQ, ...)
+    out = []
+    for ox in range(n_off):
+        c0 = ox + pad_l - rad          # padded column of site 0 at this offset
+        out.append(rows[:, :, c0 % step, c0 // step : c0 // step + nx])
+    cols = jnp.stack(out, axis=1)       # (n_off, n_off, rb, nx, ...)
     return cols.reshape((n_off * n_off,) + cols.shape[2:])
 
 
@@ -123,14 +139,19 @@ def dense_pass_v2(
         dd = None
         pval = None
 
-    # padded arrays for band slicing: rows [step*r0, step*r0 + BH)
+    # padded arrays for band slicing: rows [step*r0, step*r0 + BH); the
+    # column pad is phase-aligned (multiple of step) so the phase split
+    # makes all window slices contiguous
     bh = step * (rb - 1) + 2 * rad + 1
     pad_rows = rad + step * (n_blocks * rb) + bh  # generous top+bottom cover
-    pad_spec = [(rad, pad_rows), (rad, rad + step * nx), (0, 0)]
-    xd_p = jnp.pad(xd, pad_spec)
-    dd_p = jnp.pad(dd, pad_spec) if has_prev else None
+    pad_l = -(-rad // step) * step
+    need_c = step * (nx - 1) + pad_l + rad + 1
+    pad_r = (-(-need_c // step)) * step - ww
+    pad_spec = [(rad, pad_rows), (pad_l, pad_r), (0, 0)]
+    xd_p = _phase_cols(jnp.pad(xd, pad_spec), step)
+    dd_p = _phase_cols(jnp.pad(dd, pad_spec), step) if has_prev else None
     pv_p = (
-        jnp.pad(pval, [(rad, pad_rows), (rad, rad + step * nx)])
+        _phase_cols(jnp.pad(pval, [(rad, pad_rows), (pad_l, pad_r)]), step)
         if has_prev else None
     )
 
@@ -180,9 +201,9 @@ def dense_pass_v2(
         row0 = step * sr0
 
         band_x = jax.lax.dynamic_slice(
-            xd_p, (row0, 0, 0), (bh, xd_p.shape[1], f)
+            xd_p, (row0, 0, 0, 0), (bh, step, xd_p.shape[2], f)
         )
-        wx = _build_window(band_x, rb, nx, rad, step)          # (O, rb, nx, F)
+        wx = _build_window(band_x, rb, nx, rad, step, pad_l)   # (O, rb, nx, F)
         xp = wx[(rad * n_off1) + rad]                          # (rb, nx, F) center
         wc = wx - xp[None]
         dist = jnp.sum(wc * wc, axis=-1) * (1.0 / f)           # (O, rb, nx)
@@ -195,13 +216,15 @@ def dense_pass_v2(
 
         if has_prev:
             band_d = jax.lax.dynamic_slice(
-                dd_p, (row0, 0, 0), (bh, dd_p.shape[1], f)
+                dd_p, (row0, 0, 0, 0), (bh, step, dd_p.shape[2], f)
             )
-            wd = _build_window(band_d, rb, nx, rad, step)
+            wd = _build_window(band_d, rb, nx, rad, step, pad_l)
             band_v = jax.lax.dynamic_slice(
-                pv_p.astype(cur.dtype), (row0, 0), (bh, pv_p.shape[1])
+                pv_p.astype(cur.dtype), (row0, 0, 0), (bh, step, pv_p.shape[2])
             )
-            wv = _build_window(band_v[..., None], rb, nx, rad, step)[..., 0] > 0.5
+            wv = _build_window(
+                band_v[..., None], rb, nx, rad, step, pad_l
+            )[..., 0] > 0.5
             prev_p = wv[(rad * n_off1) + rad]                  # (rb, nx)
             cand = cand & jnp.where(prev_p[None], in_rad_t[:, None, None], True) \
                 if mode == "filter" else cand
@@ -309,19 +332,19 @@ def dense_pass_v2(
         )
         u6 = u24.reshape(n_sh, step, n_sh, step, rb, nx)
 
-        def shift_body(loc, sp):
-            ri, ci = sp[0], sp[1]
-            u4 = jax.lax.dynamic_slice(
-                u6, (ri, 0, ci, 0, 0, 0), (1, step, 1, step, rb, nx)
-            )[0, :, 0]                                         # (step, step, rb, nx)
-            contrib = u4[..., None] * specs_all[None, None]    # (step, step, rb, nx, c_all)
-            sl = jax.lax.dynamic_slice(
-                loc, (0, 0, ri, ci, 0), (step, step, rb, nx, c_all)
-            )
-            loc = jax.lax.dynamic_update_slice(loc, sl + contrib, (0, 0, ri, ci, 0))
-            return loc, None
-
-        loc, _ = jax.lax.scan(shift_body, loc0, shift_pairs)
+        # statically-unrolled pad+add chain (fusable; no scan-carry spills)
+        pr = rb + n_sh + 1
+        pc = nx + n_sh + 1
+        loc = loc0
+        for sy in range(n_sh):
+            for sx in range(n_sh):
+                contrib = (
+                    u6[sy, :, sx, :][..., None] * specs_all[None, None]
+                )                                              # (step, step, rb, nx, c_all)
+                loc = loc + jnp.pad(
+                    contrib,
+                    ((0, 0), (0, 0), (sy, pr - rb - sy), (sx, pc - nx - sx), (0, 0)),
+                )
 
         if mode == "smooth":
             # passthrough where np0 == 0: gain 1 on Nd at the center offset
@@ -399,4 +422,4 @@ def auto_rows_per_block(w: int, ch: int, psz: int, rad: int,
     """Block height bounding the (O, rb, nx, F) window tensors."""
     nx = (w - psz) // (psz // 2) + 1
     per_row = ((2 * rad + 1) ** 2) * nx * ch * psz * psz * 4
-    return max(1, min(16, budget_bytes // max(per_row, 1)))
+    return max(1, min(4, budget_bytes // max(per_row, 1)))

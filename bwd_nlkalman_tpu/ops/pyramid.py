@@ -168,3 +168,17 @@ def lanczos3_recompose(levels_imgs, sigma_blur: float = 1.0) -> jnp.ndarray:
                 diff = gaussian_blur(diff, sigma_blur)
         out = y_h + lanczos3_up(diff, y_h.shape[0], y_h.shape[1])
     return out
+
+
+def merge_coarse(fine: jnp.ndarray, coarse: jnp.ndarray,
+                 factor: float = 0.8) -> jnp.ndarray:
+    """Two-image recompose (lib/multiscale/merge_coarse.cpp:11-49, a
+    reference tool left out of its build): overwrite the lowest
+    int(h_c*factor) x int(w_c*factor) DCT coefficients of `fine` with
+    `coarse`'s, then inverse DCT."""
+    cf = dct2_image(fine)
+    cc = dct2_image(coarse)
+    h_c = int(coarse.shape[0] * factor)
+    w_c = int(coarse.shape[1] * factor)
+    cf = cf.at[:h_c, :w_c].set(cc[:h_c, :w_c])
+    return idct2_image(cf)
