@@ -52,7 +52,8 @@ def luma(img: jnp.ndarray) -> jnp.ndarray:
     return img[..., :3] @ w
 
 
-@functools.partial(jax.jit, static_argnames=("tau", "lambda_", "theta", "nwarps", "epsilon"))
+@functools.partial(jax.jit, static_argnames=(
+    "tau", "lambda_", "theta", "nwarps", "epsilon", "check_every"))
 def tvl1_flow_single_scale(
     i0: jnp.ndarray,
     i1: jnp.ndarray,
@@ -62,10 +63,17 @@ def tvl1_flow_single_scale(
     theta: float = 0.3,
     nwarps: int = 5,
     epsilon: float = 0.01,
+    check_every: int = 10,
 ) -> jnp.ndarray:
     """One-scale TV-L1 (Dual_TVL1_optic_flow, tvl1flow_lib.c:93-275).
 
     i0, i1: (H, W) float; u_init: (H, W, 2).  Returns (H, W, 2).
+
+    `check_every` amortizes the sequential-overhead of the convergence
+    test: the primal-dual step runs in groups of `check_every` iterations
+    between error checks (the reference checks every iteration,
+    tvl1flow_lib.c:165; running a few extra steps past the stopping point
+    only brings the iterate closer to the fixed point).
     """
     h, w = i0.shape
     size = h * w
@@ -88,8 +96,7 @@ def tvl1_flow_single_scale(
             _, _, _, err, n = state
             return (err > epsilon * epsilon) & (n < MAX_ITERATIONS)
 
-        def body(state):
-            u1, u2, p, _, n = state
+        def one_step(u1, u2, p):
             rho = rho_c + i1wx * u1 + i1wy * u2
             # thresholding operator TH (tvl1flow_lib.c:170-205)
             fi = jnp.where(grad < GRAD_IS_ZERO, 0.0, -rho / jnp.maximum(grad, GRAD_IS_ZERO))
@@ -124,7 +131,14 @@ def tvl1_flow_single_scale(
                     (p[3] + taut * u2y) / ng2,
                 ]
             )
-            return u1n, u2n, pn, err, n + 1
+            return u1n, u2n, pn, err
+
+        def body(state):
+            u1, u2, p, _, n = state
+            err = jnp.asarray(jnp.inf, i0.dtype)
+            for _ in range(check_every):
+                u1, u2, p, err = one_step(u1, u2, p)
+            return u1, u2, p, err, n + check_every
 
         u1, u2, p, _, _ = jax.lax.while_loop(
             cond, body, (u1, u2, p, jnp.asarray(jnp.inf, i0.dtype), 0)
@@ -151,6 +165,18 @@ def num_scales(w: int, h: int, nscales: int, zfactor: float) -> int:
     return max(1, min(nscales, n))
 
 
+def _use_pallas_backend(backend: str) -> bool:
+    if backend == "xla":
+        return False
+    if backend == "pallas":
+        return True
+    # auto: fused kernel on TPU backends only
+    try:
+        return jax.default_backend() not in ("cpu", "gpu")
+    except Exception:  # pragma: no cover
+        return False
+
+
 def tvl1_flow(
     i0: jnp.ndarray,
     i1: jnp.ndarray,
@@ -162,6 +188,7 @@ def tvl1_flow(
     zfactor: float = 0.5,
     nwarps: int = 5,
     epsilon: float = 0.01,
+    backend: str = "auto",
 ) -> jnp.ndarray:
     """Multiscale TV-L1 flow from i0 to i1 (both (H, W) or (H, W, C)).
 
@@ -190,15 +217,25 @@ def tvl1_flow(
         pyr.append((zoom_out(a, zfactor), zoom_out(b, zfactor)))
         sizes.append((nw, nh))
 
+    use_pallas = _use_pallas_backend(backend)
+    if use_pallas:
+        from .tvl1_pallas import tvl1_single_scale_pallas
+
     cw, ch_ = sizes[ns - 1]
     u = jnp.zeros((ch_, cw, 2), jnp.float32)
     for s in range(ns - 1, -1, -1):
         if s >= fs:
             a, b = pyr[s]
-            u = tvl1_flow_single_scale(
-                a, b, u, tau=tau, lambda_=lambda_, theta=theta,
-                nwarps=nwarps, epsilon=epsilon,
-            )
+            if use_pallas:
+                u = tvl1_single_scale_pallas(
+                    a, b, u, tau=tau, lambda_=lambda_, theta=theta,
+                    nwarps=nwarps, epsilon=epsilon,
+                )
+            else:
+                u = tvl1_flow_single_scale(
+                    a, b, u, tau=tau, lambda_=lambda_, theta=theta,
+                    nwarps=nwarps, epsilon=epsilon,
+                )
         if s == 0:
             break
         nw, nh = sizes[s - 1]
