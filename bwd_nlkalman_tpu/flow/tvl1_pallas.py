@@ -239,7 +239,7 @@ def tvl1_single_scale_pallas(
     few iterations past the reference's stopping point only brings the
     iterate closer to the fixed point)."""
     from ..ops.grad import centered_gradient
-    from ..ops.warp import warp_bicubic_zero
+    from ..ops.warp import warp_bicubic_zero_multi
 
     h, w = i0.shape
     tr = 64 if h >= 64 else 8
@@ -254,10 +254,10 @@ def tvl1_single_scale_pallas(
     u1, u2 = u_init[..., 0], u_init[..., 1]
     p = jnp.zeros((4, h, w), i0.dtype)
 
+    i1s = jnp.stack([i1, i1x, i1y], axis=-1)
     for _ in range(nwarps):
-        i1w = warp_bicubic_zero(i1, u1, u2)
-        i1wx = warp_bicubic_zero(i1x, u1, u2)
-        i1wy = warp_bicubic_zero(i1y, u1, u2)
+        wrp = warp_bicubic_zero_multi(i1s, u1, u2)
+        i1w, i1wx, i1wy = wrp[..., 0], wrp[..., 1], wrp[..., 2]
         grad = i1wx * i1wx + i1wy * i1wy
         rho_c = i1w - i1wx * u1 - i1wy * u2 - i0
 

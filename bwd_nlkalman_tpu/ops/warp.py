@@ -32,7 +32,8 @@ def _cubic(v0, v1, v2, v3, x):
 
 
 
-def _gather_taps16(im: jnp.ndarray, base_y: jnp.ndarray, base_x: jnp.ndarray):
+def _gather_taps16(im: jnp.ndarray, base_y: jnp.ndarray, base_x: jnp.ndarray,
+                   pad_mode: str = "constant"):
     """All 16 bicubic taps in ONE row-gather.
 
     im: (H, W) or (H, W, C); base_y/base_x: (H, W) int32 top-left tap
@@ -46,17 +47,17 @@ def _gather_taps16(im: jnp.ndarray, base_y: jnp.ndarray, base_x: jnp.ndarray):
         im = im[..., None]
     h, w, c = im.shape
     g = 4
-    imp = jnp.pad(im, ((g, g + 3), (g, g + 3), (0, 0)))
+    imp = jnp.pad(im, ((g, g + 3), (g, g + 3), (0, 0)), mode=pad_mode)
     wp = w + 2 * g + 3
     taps = jnp.stack(
         [imp[j : j + h + 2 * g, i : i + w + 2 * g] for j in range(4) for i in range(4)],
         axis=2,
-    )  # (H+2g, W+2g, 16, C)
+    )  # (H+2g, W+2g, 16, C); base arrays may have a different (output) shape
     by = jnp.clip(base_y, -g, h + g - 1) + g
     bx = jnp.clip(base_x, -g, w + g - 1) + g
     flat = (by * (w + 2 * g) + bx).ravel()
     out = taps.reshape((h + 2 * g) * (w + 2 * g), 16 * c)[flat]
-    out = out.reshape(h, w, 4, 4, c)
+    out = out.reshape(base_y.shape + (4, 4, c))
     if squeeze:
         out = out[..., 0]
     return out
@@ -119,40 +120,28 @@ def bicubic_sample(
     """Sample ``im`` (H, W) at float coords (uu, vv), reference semantics.
 
     Reproduces bicubic_interpolation_at
-    (lib/tvl1flow/bicubic_interpolation.c:138-234): truncation toward zero,
-    sign-ordered taps, Neumann clamping; if ``border_out`` the result is 0
-    wherever ANY tap required clamping.
+    (lib/tvl1flow/bicubic_interpolation.c:138-234): per-tap Neumann
+    clamping (edge padding is equivalent); if ``border_out`` the result is
+    0 wherever any tap fell outside the frame.  Uses the single-gather
+    fast path: the reference's truncation-based sign-ordered taps select
+    the same four sample points and the same interpolating cubic as the
+    floor-based footprint used here.
     """
-    h, w = im.shape
-    sx = jnp.where(uu < 0, -1, 1).astype(jnp.int32)
-    sy = jnp.where(vv < 0, -1, 1).astype(jnp.int32)
-    x0 = uu.astype(jnp.int32)  # C-style truncation toward zero
-    y0 = vv.astype(jnp.int32)
-
-    # tap order along x: [x0 - sx, x0, x0 + sx, x0 + 2 sx]; same for y.
-    # NOTE the reference computes the y-taps' "my" with sx (my = vv - sx,
-    # bicubic_interpolation.c:159) — a quirk we replicate verbatim.
-    xts = [x0 - sx, x0, x0 + sx, x0 + 2 * sx]
-    yts = [y0 - sx, y0, y0 + sy, y0 + 2 * sy]
-
-    out_flag = jnp.zeros(uu.shape, dtype=bool)
-    xcl, ycl = [], []
-    for t in xts:
-        out_flag = out_flag | (t < 0) | (t >= w)
-        xcl.append(jnp.clip(t, 0, w - 1))
-    for t in yts:
-        out_flag = out_flag | (t < 0) | (t >= h)
-        ycl.append(jnp.clip(t, 0, h - 1))
-
-    fx = uu - xcl[1].astype(uu.dtype)
-    fy = vv - ycl[1].astype(vv.dtype)
-
-    cols = []
-    for i in range(4):
-        vals = [im[ycl[j], xcl[i]] for j in range(4)]
-        cols.append(_cubic(vals[0], vals[1], vals[2], vals[3], fy))
+    h, w = im.shape[:2]
+    x0 = jnp.floor(uu)
+    y0 = jnp.floor(vv)
+    fx = uu - x0
+    fy = vv - y0
+    bx = x0.astype(jnp.int32) - 1
+    by = y0.astype(jnp.int32) - 1
+    out_flag = (bx < 0) | (bx + 3 >= w) | (by < 0) | (by + 3 >= h)
+    taps = _gather_taps16(im, by, bx, pad_mode="edge")
+    cols = [
+        _cubic(taps[..., 0, i], taps[..., 1, i], taps[..., 2, i],
+               taps[..., 3, i], fy)
+        for i in range(4)
+    ]
     res = _cubic(cols[0], cols[1], cols[2], cols[3], fx)
-
     if border_out:
         res = jnp.where(out_flag, 0.0, res)
     return res
@@ -195,3 +184,30 @@ def warp_bicubic_zero(im: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.nd
     ]
     res = _cubic(cols[0], cols[1], cols[2], cols[3], fx)
     return jnp.where(out_flag, 0.0, res)
+
+
+def warp_bicubic_zero_multi(ims: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """warp_bicubic_zero for C stacked images (H, W, C) sharing one flow —
+    a single gather serves all channels (the TV-L1 warp stage warps I1 and
+    its two gradients along the same flow, tvl1flow_lib.c:145-147)."""
+    h, w = ims.shape[:2]
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=u.dtype), jnp.arange(w, dtype=u.dtype), indexing="ij"
+    )
+    uu = xx + u
+    vv = yy + v
+    x0 = jnp.floor(uu)
+    y0 = jnp.floor(vv)
+    fx = (uu - x0)[..., None]
+    fy = (vv - y0)[..., None]
+    bx = x0.astype(jnp.int32) - 1
+    by = y0.astype(jnp.int32) - 1
+    out_flag = (bx < 0) | (bx + 3 >= w) | (by < 0) | (by + 3 >= h)
+    taps = _gather_taps16(ims, by, bx)               # (H, W, 4, 4, C)
+    cols = [
+        _cubic(taps[..., 0, i, :], taps[..., 1, i, :], taps[..., 2, i, :],
+               taps[..., 3, i, :], fy)
+        for i in range(4)
+    ]
+    res = _cubic(cols[0], cols[1], cols[2], cols[3], fx)
+    return jnp.where(out_flag[..., None], 0.0, res)
