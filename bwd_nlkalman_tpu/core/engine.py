@@ -89,9 +89,20 @@ def _build_window(band_ph: jnp.ndarray, rb: int, nx: int, rad: int, step: int,
     return cols.reshape((n_off * n_off,) + cols.shape[2:])
 
 
+def _use_pallas_agg(backend: str) -> bool:
+    # the Pallas aggregation kernel (agg_pallas.py) is experimental: its
+    # global-plane layout still fights Mosaic's 128-lane DMA alignment
+    # (c_all = n_acc*64+1 lanes).  Round-2 folds aggregation into the
+    # fully fused NL-Kalman kernel instead.  Default: XLA chain.
+    return backend == "pallas"
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("sigma", "prms", "mode", "has_prev", "has_basic", "rows_per_block"),
+    static_argnames=(
+        "sigma", "prms", "mode", "has_prev", "has_basic", "rows_per_block",
+        "agg_backend",
+    ),
 )
 def dense_pass_v2(
     cur: jnp.ndarray,
@@ -104,6 +115,7 @@ def dense_pass_v2(
     has_prev: bool,
     has_basic: bool,
     rows_per_block: int = 4,
+    agg_backend: str = "auto",
 ) -> jnp.ndarray:
     h, w, ch = cur.shape
     psz = prms.patch_sz
@@ -179,7 +191,14 @@ def dense_pass_v2(
     n_sh = shift_hi - shift_lo + 1                           # local rows per phase
 
     nyp = n_blocks * rb + n_sh + 2                           # phase-plane rows
-    nxp = nx + n_sh + 2
+    pallas_agg = _use_pallas_agg(agg_backend)
+    if pallas_agg:
+        from .agg_pallas import aggregate_block, NXT
+
+        nx_pal = -(-nx // NXT) * NXT
+        nxp = nx_pal + 8
+    else:
+        nxp = nx + n_sh + 2
 
     n_acc = 3 if (mode == "smooth") else 2                   # gain/bias(/d)
     c_all = n_acc * f + 1                                    # fused channels
@@ -320,10 +339,6 @@ def dense_pass_v2(
             axis=-1,
         )                                                      # (rb, nx, c_all)
 
-        loc0 = jnp.zeros(
-            (step, step, rb + n_sh + 1, nx + n_sh + 1, c_all), cur.dtype
-        )
-
         # reorganize the member weights by (shift, phase) via pad + reshape
         u24 = jnp.zeros((n_pad1, n_pad1, rb, nx), cur.dtype)
         u24 = jax.lax.dynamic_update_slice(
@@ -332,10 +347,46 @@ def dense_pass_v2(
         )
         u6 = u24.reshape(n_sh, step, n_sh, step, rb, nx)
 
+        if mode == "smooth":
+            # passthrough where np0 == 0: gain 1 on Nd at the center offset
+            # with weight 1e6 [src/nlkalman.c:1795-1804]; expressed as an
+            # extra member weight at the center offset so both aggregation
+            # backends handle it uniformly.  The center's member weight and
+            # the passthrough are mutually exclusive (np0==0 => no members).
+            pmask = ((np0 == 0.0) & site_ok).astype(cur.dtype) * 1e6
+            c_sh = -shift_lo
+            u6 = u6.at[c_sh, 0, c_sh, 0].add(pmask)
+            # passthrough uses gain-1 on Nd: since member specs at np0==0
+            # sites are irrelevant (no members), override specs there
+            specs_all = jnp.where(
+                (np0 == 0.0)[..., None],
+                jnp.concatenate(
+                    [jnp.ones((rb, nx, f), cur.dtype)]
+                    + [jnp.zeros((rb, nx, f), cur.dtype)] * (n_acc - 1)
+                    + [jnp.ones((rb, nx, 1), cur.dtype)],
+                    axis=-1,
+                ),
+                specs_all,
+            )
+
+        if pallas_agg:
+            u6p = jnp.pad(
+                u6, ((0, 0),) * 5 + ((0, nx_pal - nx),)
+            )
+            specs_p = jnp.pad(specs_all, ((0, 0), (0, nx_pal - nx), (0, 0)))
+            g_acc = aggregate_block(
+                g_acc, u6p, specs_p,
+                jnp.reshape(sr0, (1,)).astype(jnp.int32),
+                step, n_sh, rb, c_all,
+            )
+            return g_acc, None
+
         # statically-unrolled pad+add chain (fusable; no scan-carry spills)
         pr = rb + n_sh + 1
         pc = nx + n_sh + 1
-        loc = loc0
+        loc = jnp.zeros(
+            (step, step, rb + n_sh + 1, nx + n_sh + 1, c_all), cur.dtype
+        )
         for sy in range(n_sh):
             for sx in range(n_sh):
                 contrib = (
@@ -345,21 +396,6 @@ def dense_pass_v2(
                     contrib,
                     ((0, 0), (0, 0), (sy, pr - rb - sy), (sx, pc - nx - sx), (0, 0)),
                 )
-
-        if mode == "smooth":
-            # passthrough where np0 == 0: gain 1 on Nd at the center offset
-            # with weight 1e6 [src/nlkalman.c:1795-1804]
-            pmask = ((np0 == 0.0) & site_ok).astype(cur.dtype) * 1e6
-            ri = -shift_lo
-            ones_gain = jnp.concatenate(
-                [jnp.ones((1, 1, f), cur.dtype)]
-                + [jnp.zeros((1, 1, f), cur.dtype)] * (n_acc - 1)
-                + [jnp.ones((1, 1, 1), cur.dtype)],
-                axis=-1,
-            )
-            loc = loc.at[0, 0, ri : ri + rb, ri : ri + nx].add(
-                pmask[..., None] * ones_gain
-            )
 
         # fold the local buffer into the global phase planes
         sl = jax.lax.dynamic_slice(
