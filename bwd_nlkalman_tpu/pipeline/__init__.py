@@ -8,5 +8,6 @@ from .sequence import (  # noqa: F401
     denoise_sequence,
     fsmo_sequence,
     lsmo_sequence,
+    denoise_batch,
 )
 from .gt import add_noise_sequence, sequence_psnr, gt_measures  # noqa: F401

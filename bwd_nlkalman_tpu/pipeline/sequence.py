@@ -240,3 +240,32 @@ def denoise_sequence(
         return flt1, flt2, None
     smo1 = smooth_sequence(flt2, sigma, ps, flow_cfg)
     return flt1, flt2, smo1
+
+
+def denoise_batch(
+    noisy_batch: jnp.ndarray,
+    sigma: float,
+    mesh=None,
+    **kw,
+):
+    """Denoise a batch of clips (B, T, H, W, C) — the TPU equivalent of the
+    reference's GNU-parallel fan-out over sequences
+    (scripts/dev-scripts/train-nn-smoothing.sh:118-120).
+
+    With a mesh, the batch axis is sharded over its 'dp' axis (data
+    parallelism over clips); otherwise a plain vmap.
+    """
+    def one(v):
+        flt1, flt2 = filter_sequence(v, sigma)
+        smo1 = smooth_sequence(flt2, sigma)
+        return flt1, flt2, smo1
+
+    batched = jax.vmap(one)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sh = NamedSharding(mesh, P("dp", None, None, None, None))
+        noisy_batch = jax.lax.with_sharding_constraint(
+            jnp.asarray(noisy_batch), sh
+        )
+    return batched(jnp.asarray(noisy_batch))

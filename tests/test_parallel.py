@@ -87,3 +87,18 @@ def test_sharded_smoother_matches_single(rng, mesh4):
         )
     )
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=2e-3)
+
+
+def test_denoise_batch_dp(mesh4, rng):
+    """Batch of clips sharded over dp (here dp=1 mesh, mechanics check)."""
+    import jax
+    from bwd_nlkalman_tpu.parallel import make_mesh
+    from bwd_nlkalman_tpu.pipeline import denoise_batch
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    mesh = make_mesh(dp=2, sp=1, devices=jax.devices()[:2])
+    clips = rng.uniform(0, 255, (2, 2, 48, 48, 1)).astype(np.float32)
+    flt1, flt2, smo1 = denoise_batch(clips, 20.0, mesh=mesh)
+    assert flt2.shape == clips.shape
+    assert np.isfinite(np.asarray(smo1)).all()
