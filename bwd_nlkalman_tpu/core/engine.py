@@ -46,8 +46,10 @@ def _kth_smallest_bits(bits: jnp.ndarray, k: jnp.ndarray, axis: int = 0):
     Returns (S,) int32 bits such that count(bits <= t) >= k is minimal;
     -1 where k == 0 (selects nothing).
     """
-    lo = jnp.zeros(k.shape, jnp.int32)
-    hi = jnp.full(k.shape, _INF_BITS, jnp.int32)
+    # derive the carry from `bits` so it inherits shard_map varying axes
+    zero = jnp.min(bits, axis=axis) * 0
+    lo = zero
+    hi = zero + _INF_BITS
 
     def body(_, lh):
         lo, hi = lh
@@ -101,7 +103,7 @@ def _use_pallas_agg(backend: str) -> bool:
     jax.jit,
     static_argnames=(
         "sigma", "prms", "mode", "has_prev", "has_basic", "rows_per_block",
-        "agg_backend",
+        "agg_backend", "site_rows", "return_accum",
     ),
 )
 def dense_pass_v2(
@@ -116,6 +118,9 @@ def dense_pass_v2(
     has_basic: bool,
     rows_per_block: int = 4,
     agg_backend: str = "auto",
+    site_rows: tuple | None = None,   # static (start, stop) local site rows
+    qy_bounds: jnp.ndarray | None = None,  # (2,) valid local patch-row range
+    return_accum: bool = False,       # return (out_acc, agg) pre-normalization
 ) -> jnp.ndarray:
     h, w, ch = cur.shape
     psz = prms.patch_sz
@@ -137,8 +142,15 @@ def dense_pass_v2(
     # site grid: py = step*i < hh, px = step*j < ww  [src/nlkalman.c:586,595]
     ny = (hh - 1) // step + 1
     nx = (ww - 1) // step + 1
+    row_start, row_stop = (0, ny) if site_rows is None else site_rows
+    row_stop = min(row_stop, (h - psz) // step + 1)
+    n_rows = row_stop - row_start
     rb = rows_per_block
-    n_blocks = -(-ny // rb)
+    n_blocks = -(-n_rows // rb)
+    if qy_bounds is None:
+        qy_lo, qy_hi = 0, hh
+    else:
+        qy_lo, qy_hi = qy_bounds[0], qy_bounds[1]
 
     # ---- dense patch transforms ------------------------------------------
     x_img = basic if has_basic else cur
@@ -155,7 +167,7 @@ def dense_pass_v2(
     # column pad is phase-aligned (multiple of step) so the phase split
     # makes all window slices contiguous
     bh = step * (rb - 1) + 2 * rad + 1
-    pad_rows = rad + step * (n_blocks * rb) + bh  # generous top+bottom cover
+    pad_rows = rad + step * (row_start + n_blocks * rb) + bh  # generous cover
     pad_l = -(-rad // step) * step
     need_c = step * (nx - 1) + pad_l + rad + 1
     pad_r = (-(-need_c // step)) * step - ww
@@ -190,7 +202,7 @@ def dense_pass_v2(
     shift_hi = max(s for _, s in phases)
     n_sh = shift_hi - shift_lo + 1                           # local rows per phase
 
-    nyp = n_blocks * rb + n_sh + 2                           # phase-plane rows
+    nyp = row_start + n_blocks * rb + n_sh + 2               # phase-plane rows
     pallas_agg = _use_pallas_agg(agg_backend)
     if pallas_agg:
         from .agg_pallas import aggregate_block, NXT
@@ -202,7 +214,8 @@ def dense_pass_v2(
 
     n_acc = 3 if (mode == "smooth") else 2                   # gain/bias(/d)
     c_all = n_acc * f + 1                                    # fused channels
-    g_ph = jnp.zeros((step, step, nyp, nxp, c_all), cur.dtype)
+    # + varying zero so the scan carry inherits shard_map varying axes
+    g_ph = jnp.zeros((step, step, nyp, nxp, c_all), cur.dtype) + cur.ravel()[0] * 0
 
     # offset axis padded to a multiple of step so a reshape separates
     # (shift, phase): delta + step*(-shift_lo) = step*shift_idx + phase
@@ -228,10 +241,14 @@ def dense_pass_v2(
         dist = jnp.sum(wc * wc, axis=-1) * (1.0 / f)           # (O, rb, nx)
 
         # candidate validity: global bounds + (temporal) radius
-        qy = step * (sr0 + iy)[None] + oy_j[:, None, None]     # (O, rb, 1)
+        py_site = step * (sr0 + iy)                            # (rb, 1)
+        qy = py_site[None] + oy_j[:, None, None]               # (O, rb, 1)
         qx = px_all[None] + ox_j[:, None, None]                # (O, 1, nx)
-        site_ok = (sr0 + iy) < ny                              # (rb, 1)
-        cand = (qy >= 0) & (qy < hh) & (qx >= 0) & (qx < ww) & site_ok[None]
+        site_ok = (
+            ((sr0 + iy) < row_stop)
+            & (py_site >= qy_lo) & (py_site < qy_hi)
+        )                                                      # (rb, 1)
+        cand = (qy >= qy_lo) & (qy < qy_hi) & (qx >= 0) & (qx < ww) & site_ok[None]
 
         if has_prev:
             band_d = jax.lax.dynamic_slice(
@@ -409,7 +426,7 @@ def dense_pass_v2(
 
     g_acc, _ = jax.lax.scan(
         block_body, g_ph,
-        jnp.arange(n_blocks, dtype=jnp.int32) * rb,
+        row_start + jnp.arange(n_blocks, dtype=jnp.int32) * rb,
     )
 
     # ---- un-phase: phase plane (py_ph, px_ph, i, j) -> q = (step*(i+shift_lo)
@@ -448,6 +465,9 @@ def dense_pass_v2(
                 wv * pix[..., :, dy * psz + dx]
             )
             agg = agg.at[dy : dy + hh, dx : dx + ww].add(wv * w_field)
+
+    if return_accum:
+        return out, agg
 
     covered = agg > 1e-6
     return jnp.where(covered[..., None], out / jnp.maximum(agg, 1e-6)[..., None], cur)

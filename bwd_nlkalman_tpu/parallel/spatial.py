@@ -28,6 +28,7 @@ except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
 from ..core.nlkalman import _dense_pass, patch_validity, _auto_chunk
+from ..core.engine import dense_pass_v2, auto_rows_per_block
 from ..params import NLKParams
 
 
@@ -64,10 +65,11 @@ def _halo_fold(acc, halo, axis_name):
 
 def _sharded_pass_body(
     cur, prev, pvalid, basic, sigma, prms, mode, has_prev, has_basic,
-    chunk_sites, halo, global_h, axis_name,
+    chunk_sites, halo, global_h, axis_name, engine="v2",
 ):
     """shard_map body: cur/prev/pvalid/basic are local (block, W, ...) rows."""
     psz = prms.patch_sz
+    step = psz // 2
     block = cur.shape[0]
     idx = jax.lax.axis_index(axis_name)
     g0 = idx * block
@@ -87,12 +89,25 @@ def _sharded_pass_body(
     qy_hi = hh_g + halo - g0          # one past last valid local patch row
     qy_bounds = jnp.stack([qy_lo, qy_hi]).astype(jnp.int32)
 
-    out_e, agg_e = _dense_pass(
-        cur_e, prev_e, pval_e, basic_e, sigma, prms, mode,
-        has_prev, has_basic, chunk_sites,
-        site_rows=(halo, halo + block), qy_bounds=qy_bounds,
-        return_accum=True,
-    )
+    if engine == "v2":
+        # halo is step-aligned, so local site rows stay on the global
+        # stride-psz/2 grid
+        out_e, agg_e = dense_pass_v2(
+            cur_e, prev_e, pval_e, basic_e, sigma, prms, mode,
+            has_prev, has_basic,
+            auto_rows_per_block(cur.shape[1], cur.shape[2], psz,
+                                prms.search_sz_x if mode == "filter"
+                                else prms.search_sz_t),
+            site_rows=(halo // step, (halo + block) // step),
+            qy_bounds=qy_bounds, return_accum=True,
+        )
+    else:
+        out_e, agg_e = _dense_pass(
+            cur_e, prev_e, pval_e, basic_e, sigma, prms, mode,
+            has_prev, has_basic, chunk_sites,
+            site_rows=(halo, halo + block), qy_bounds=qy_bounds,
+            return_accum=True,
+        )
     out = _halo_fold(out_e, halo, axis_name)
     agg = _halo_fold(agg_e, halo, axis_name)
     covered = agg > 1e-6
@@ -101,27 +116,32 @@ def _sharded_pass_body(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("sigma", "prms", "mode", "has_prev", "has_basic", "mesh", "chunk_sites"),
+    static_argnames=("sigma", "prms", "mode", "has_prev", "has_basic", "mesh",
+                     "chunk_sites", "engine"),
 )
 def _spatial_pass(
     cur, prev, pvalid, basic, sigma, prms, mode, has_prev, has_basic,
-    mesh: Mesh, chunk_sites: int,
+    mesh: Mesh, chunk_sites: int, engine: str = "v2",
 ):
     h, w, ch = cur.shape
     n_sp = mesh.shape["sp"]
     psz = prms.patch_sz
+    step = psz // 2
     rad = max(prms.search_sz_x, prms.search_sz_t) if mode == "filter" else prms.search_sz_t
-    halo = rad + psz
+    # step-aligned halo keeps the sharded site grid on the global stride grid
+    halo = -(-(rad + psz) // step) * step
     if h % n_sp:
         raise ValueError(f"H={h} not divisible by sp={n_sp}")
     block = h // n_sp
+    if block % step:
+        raise ValueError(f"shard block {block} rows not divisible by {step}")
     if block < halo:
         raise ValueError(f"shard block {block} rows < halo {halo}; reduce sp")
 
     body = functools.partial(
         _sharded_pass_body, sigma=sigma, prms=prms, mode=mode,
         has_prev=has_prev, has_basic=has_basic, chunk_sites=chunk_sites,
-        halo=halo, global_h=h, axis_name="sp",
+        halo=halo, global_h=h, axis_name="sp", engine=engine,
     )
     fn = shard_map(
         lambda c, p, v, b: body(c, p, v, b),

@@ -6,4 +6,5 @@ from .search import (  # noqa: F401
     random_search,
     coordinate_descent,
     format_table_row,
+    line_search,
 )

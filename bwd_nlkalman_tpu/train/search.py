@@ -178,3 +178,38 @@ def coordinate_descent(
         if not improved:
             break
     return best, history
+
+
+def line_search(
+    clean_seqs,
+    sigma: float,
+    field: str,
+    values,
+    objective: str = "smo1",
+    first_frame: int = 10,
+    table_path: str | None = None,
+):
+    """1-D line search over one beta/group-size field (the
+    line-search-smoothing.sh / line-search-filtering-oflow.sh family).
+    field: e.g. "f1_bx", "f2_bt", "s1_bt", "f1_nx", "s1_nt"."""
+    attr_map = {"nx": "npatches_x", "nt": "npatches_t",
+                "ntagg": "npatches_tagg", "bx": "beta_x", "bt": "beta_t"}
+    which, key = field.split("_", 1)
+    attr = attr_map[key]
+    results = []
+    for v in values:
+        p1 = default_params(sigma, FilterMode.FLT1)
+        p2 = default_params(sigma, FilterMode.FLT2)
+        ps = default_params(sigma, FilterMode.SMO1)
+        tgt = {"f1": p1, "f2": p2, "s1": ps}[which]
+        tgt = dataclasses.replace(tgt, **{attr: v})
+        p1, p2, ps = {
+            "f1": (tgt, p2, ps), "f2": (p1, tgt, ps), "s1": (p1, p2, tgt)
+        }[which]
+        r = evaluate(clean_seqs, sigma, p1, p2, ps, first_frame=first_frame)
+        results.append((v, r))
+        if table_path:
+            with open(table_path, "a") as fh:
+                fh.write(format_table_row(r) + "\n")
+    results.sort(key=lambda t: t[1].mse[objective])
+    return results
