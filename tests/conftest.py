@@ -28,3 +28,16 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    A long pytest process accumulates hundreds of XLA CPU executables;
+    late compilations have been observed to crash the native compiler
+    (segfault in backend_compile_and_load).  Clearing per module keeps the
+    process small; the persistent compilation cache makes recompiles cheap.
+    """
+    yield
+    jax.clear_caches()
