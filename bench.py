@@ -17,6 +17,9 @@ import os
 import sys
 import time
 
+# bf16 window tensors: PSNR-gated neutral (see ROUND_NOTES.md), ~16% faster
+os.environ.setdefault("BNLK_WINDOW_DTYPE", "bfloat16")
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np

@@ -103,7 +103,7 @@ def _use_pallas_agg(backend: str) -> bool:
     jax.jit,
     static_argnames=(
         "sigma", "prms", "mode", "has_prev", "has_basic", "rows_per_block",
-        "agg_backend", "site_rows", "return_accum",
+        "agg_backend", "site_rows", "return_accum", "window_dtype",
     ),
 )
 def dense_pass_v2(
@@ -121,6 +121,7 @@ def dense_pass_v2(
     site_rows: tuple | None = None,   # static (start, stop) local site rows
     qy_bounds: jnp.ndarray | None = None,  # (2,) valid local patch-row range
     return_accum: bool = False,       # return (out_acc, agg) pre-normalization
+    window_dtype: str = "float32",    # "bfloat16" halves window traffic
 ) -> jnp.ndarray:
     h, w, ch = cur.shape
     psz = prms.patch_sz
@@ -171,9 +172,10 @@ def dense_pass_v2(
     pad_l = -(-rad // step) * step
     need_c = step * (nx - 1) + pad_l + rad + 1
     pad_r = (-(-need_c // step)) * step - ww
+    wdt = jnp.bfloat16 if window_dtype == "bfloat16" else cur.dtype
     pad_spec = [(rad, pad_rows), (pad_l, pad_r), (0, 0)]
-    xd_p = _phase_cols(jnp.pad(xd, pad_spec), step)
-    dd_p = _phase_cols(jnp.pad(dd, pad_spec), step) if has_prev else None
+    xd_p = _phase_cols(jnp.pad(xd, pad_spec), step).astype(wdt)
+    dd_p = _phase_cols(jnp.pad(dd, pad_spec), step).astype(wdt) if has_prev else None
     pv_p = (
         _phase_cols(jnp.pad(pval, [(rad, pad_rows), (pad_l, pad_r)]), step)
         if has_prev else None
@@ -236,8 +238,8 @@ def dense_pass_v2(
             xd_p, (row0, 0, 0, 0), (bh, step, xd_p.shape[2], f)
         )
         wx = _build_window(band_x, rb, nx, rad, step, pad_l)   # (O, rb, nx, F)
-        xp = wx[(rad * n_off1) + rad]                          # (rb, nx, F) center
-        wc = wx - xp[None]
+        xp = wx[(rad * n_off1) + rad].astype(cur.dtype)        # (rb, nx, F) center
+        wc = (wx - wx[(rad * n_off1) + rad][None]).astype(cur.dtype)
         dist = jnp.sum(wc * wc, axis=-1) * (1.0 / f)           # (O, rb, nx)
 
         # candidate validity: global bounds + (temporal) radius

@@ -404,12 +404,14 @@ def nlkalman_filter_frame(
         deno0 = jnp.where(prev_valid[..., None], deno0, 0.0)
     basic = bsic1 if has_basic else nisy
     if engine == "v2":
+        import os
         from .engine import dense_pass_v2, auto_rows_per_block
 
         rb = auto_rows_per_block(w, ch, prms.patch_sz, prms.search_sz_x)
         return dense_pass_v2(
             nisy, deno0, prev_valid, basic, float(sigma), prms, "filter",
             has_prev, has_basic, rb,
+            window_dtype=os.environ.get("BNLK_WINDOW_DTYPE", "float32"),
         )
     if chunk_sites is None:
         chunk_sites = _auto_chunk(h, w, ch, prms.patch_sz, prms.search_sz_x)
@@ -446,12 +448,14 @@ def nlkalman_smooth_frame(
         smoo0 = jnp.where(prev_valid[..., None], smoo0, 0.0)
     basic = bsic1 if has_basic else filt1
     if engine == "v2":
+        import os
         from .engine import dense_pass_v2, auto_rows_per_block
 
         rb = auto_rows_per_block(w, ch, prms.patch_sz, prms.search_sz_t)
         return dense_pass_v2(
             filt1, smoo0, prev_valid, basic, float(sigma), prms, "smooth",
             has_prev, has_basic, rb,
+            window_dtype=os.environ.get("BNLK_WINDOW_DTYPE", "float32"),
         )
     if chunk_sites is None:
         chunk_sites = _auto_chunk(h, w, ch, prms.patch_sz, prms.search_sz_t)
