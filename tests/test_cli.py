@@ -91,3 +91,30 @@ def test_seq_cli_gt_mode(tmp_path, rng, capsys):
     assert "PSNR(dB):" in out
     assert (tmp_path / "out" / "measures").exists()
     assert (tmp_path / "out" / "smo1-003.tif").exists()
+
+
+@pytest.mark.skipif(not has_ref, reason="reference binaries not built")
+def test_smo_cli_matches_c(tmp_path, rng):
+    """nlkalman-smo CLI vs the C binary (flow-less smoothing)."""
+    from bwd_nlkalman_tpu.cli import nlkalman_smo
+
+    f1 = _noisy(rng)
+    s0 = f1 + 3 * rng.standard_normal(f1.shape).astype(np.float32)
+    write_pfm(str(tmp_path / "f1.pfm"), f1)
+    write_pfm(str(tmp_path / "s0.pfm"), s0)
+    flags = ["-s", "20", "--s1_st", "3", "--s1_nt", "8", "--s1_nt_agg", "8",
+             "--s1_bt", "4.0"]
+    subprocess.run(
+        [os.path.join(REFBIN, "nlkalman-smo"),
+         "--flt1", str(tmp_path / "f1.pfm"), "--smo0", str(tmp_path / "s0.pfm"),
+         *flags, "--smo1", str(tmp_path / "c.pfm")],
+        capture_output=True, env={"OMP_NUM_THREADS": "1", "PATH": "/usr/bin:/bin"},
+    )
+    rc = nlkalman_smo.main(
+        ["--flt1", str(tmp_path / "f1.pfm"), "--smo0", str(tmp_path / "s0.pfm"),
+         *flags, "--smo1", str(tmp_path / "j.pfm")]
+    )
+    assert rc == 0
+    c = read_pfm(str(tmp_path / "c.pfm"))
+    j = read_pfm(str(tmp_path / "j.pfm"))
+    assert np.sqrt(np.mean((c - j) ** 2)) < 1.0
