@@ -123,7 +123,15 @@ def _spatial_pass(
     cur, prev, pvalid, basic, sigma, prms, mode, has_prev, has_basic,
     mesh: Mesh, chunk_sites: int, engine: str = "v2",
 ):
-    h, w, ch = cur.shape
+    """H-sharded NL-Kalman pass.
+
+    Accepts (H, W, C) frames sharded over 'sp', or (B, H, W, C) batches
+    sharded over ('dp', 'sp') — the batched form is ONE shard_map over both
+    mesh axes with a local vmap inside, so dp x sp sharded inputs flow in
+    without any resharding (no involuntary rematerialization).
+    """
+    batched = cur.ndim == 4
+    h, w, ch = cur.shape[1:] if batched else cur.shape
     n_sp = mesh.shape["sp"]
     psz = prms.patch_sz
     step = psz // 2
@@ -143,12 +151,23 @@ def _spatial_pass(
         has_prev=has_prev, has_basic=has_basic, chunk_sites=chunk_sites,
         halo=halo, global_h=h, axis_name="sp", engine=engine,
     )
-    fn = shard_map(
-        lambda c, p, v, b: body(c, p, v, b),
-        mesh=mesh,
-        in_specs=(P("sp"), P("sp"), P("sp"), P("sp")),
-        out_specs=P("sp"),
-    )
+    if batched:
+        if cur.shape[0] % mesh.shape["dp"]:
+            raise ValueError(
+                f"batch {cur.shape[0]} not divisible by dp={mesh.shape['dp']}")
+        fn = shard_map(
+            jax.vmap(lambda c, p, v, b: body(c, p, v, b)),
+            mesh=mesh,
+            in_specs=(P("dp", "sp"), P("dp", "sp"), P("dp", "sp"), P("dp", "sp")),
+            out_specs=P("dp", "sp"),
+        )
+    else:
+        fn = shard_map(
+            lambda c, p, v, b: body(c, p, v, b),
+            mesh=mesh,
+            in_specs=(P("sp"), P("sp"), P("sp"), P("sp")),
+            out_specs=P("sp"),
+        )
     return fn(cur, prev, pvalid, basic)
 
 
@@ -203,30 +222,31 @@ def sharded_filter_step(mesh: Mesh, sigma: float, p1: NLKParams, p2: NLKParams):
     from ..ops.warp import warp_bicubic_nan
     from jax.sharding import NamedSharding
 
-    def one(noisy, flt1_prev, flt2_prev, flow, occ):
-        n_opp = rgb2opp(noisy)
-        w1, v1 = warp_bicubic_nan(rgb2opp(flt1_prev), flow, occ)
-        f11 = _spatial_pass(
-            n_opp, jnp.where(v1[..., None], w1, 0.0), v1, n_opp,
-            float(sigma), p1, "filter", True, False, mesh,
-            _auto_chunk(noisy.shape[0] // mesh.shape["sp"], noisy.shape[1],
-                        noisy.shape[2], p1.patch_sz, p1.search_sz_x),
-        )
-        w2, v2 = warp_bicubic_nan(rgb2opp(flt2_prev), flow, occ)
-        f21 = _spatial_pass(
-            n_opp, jnp.where(v2[..., None], w2, 0.0), v2, f11,
-            float(sigma), p2, "filter", True, True, mesh,
-            _auto_chunk(noisy.shape[0] // mesh.shape["sp"], noisy.shape[1],
-                        noisy.shape[2], p2.patch_sz, p2.search_sz_x),
-        )
-        return opp2rgb(f11), opp2rgb(f21)
-
-    batched = jax.vmap(one)
-    sharding = NamedSharding(mesh, P("dp", None, None, None))
+    # dp x sp layout everywhere: batch over 'dp', rows over 'sp'.  The
+    # NL-Kalman passes consume this layout directly (batched shard_map), so
+    # no resharding/rematerialization happens at the shard_map boundary.
+    sharding = NamedSharding(mesh, P("dp", "sp", None, None))
 
     @jax.jit
     def step(noisy, flt1_prev, flt2_prev, flow, occ):
-        noisy = jax.lax.with_sharding_constraint(noisy, sharding)
-        return batched(noisy, flt1_prev, flt2_prev, flow, occ)
+        noisy, flt1_prev, flt2_prev = (
+            jax.lax.with_sharding_constraint(x, sharding)
+            for x in (noisy, flt1_prev, flt2_prev))
+        n_opp = rgb2opp(noisy)
+        w1, v1 = jax.vmap(warp_bicubic_nan)(rgb2opp(flt1_prev), flow, occ)
+        f11 = _spatial_pass(
+            n_opp, jnp.where(v1[..., None], w1, 0.0), v1, n_opp,
+            float(sigma), p1, "filter", True, False, mesh,
+            _auto_chunk(noisy.shape[1] // mesh.shape["sp"], noisy.shape[2],
+                        noisy.shape[3], p1.patch_sz, p1.search_sz_x),
+        )
+        w2, v2 = jax.vmap(warp_bicubic_nan)(rgb2opp(flt2_prev), flow, occ)
+        f21 = _spatial_pass(
+            n_opp, jnp.where(v2[..., None], w2, 0.0), v2, f11,
+            float(sigma), p2, "filter", True, True, mesh,
+            _auto_chunk(noisy.shape[1] // mesh.shape["sp"], noisy.shape[2],
+                        noisy.shape[3], p2.patch_sz, p2.search_sz_x),
+        )
+        return opp2rgb(f11), opp2rgb(f21)
 
     return step

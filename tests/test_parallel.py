@@ -102,3 +102,24 @@ def test_denoise_batch_dp(mesh4, rng):
     flt1, flt2, smo1 = denoise_batch(clips, 20.0, mesh=mesh)
     assert flt2.shape == clips.shape
     assert np.isfinite(np.asarray(smo1)).all()
+
+
+def test_batched_dpsp_pass_matches_single(rng):
+    """(B,H,W,C) batched shard_map over ('dp','sp') == per-sample single-chip."""
+    from bwd_nlkalman_tpu.parallel.spatial import _spatial_pass
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(dp=2, sp=4)
+    sigma = 15.0
+    batch = np.stack([_frame(rng, 96, 64), _frame(rng, 96, 64)])
+    zeros = jnp.zeros_like(jnp.asarray(batch))
+    novalid = jnp.zeros(batch.shape[:3], bool)
+    got = np.asarray(_spatial_pass(
+        jnp.asarray(batch), zeros, novalid, jnp.asarray(batch),
+        sigma, PRMS, "filter", False, False, mesh, 256,
+    ))
+    for i in range(2):
+        ref = np.asarray(nlkalman_filter_frame(
+            jnp.asarray(batch[i]), None, None, None, sigma, PRMS))
+        np.testing.assert_allclose(got[i], ref, rtol=1e-4, atol=2e-3)
