@@ -445,12 +445,30 @@ def dense_pass_v2(
     g_all = unphase(g_acc)
     g_fields = [g_all[..., i * f : (i + 1) * f] for i in range(n_acc)]
     w_field = g_all[..., n_acc * f]
+    return finalize_fields(
+        g_fields, w_field, nd, dd, mode, psz, cur, return_accum
+    )
 
-    # ---- final: one inverse DCT + window overlap-add over the whole frame
+
+def finalize_fields(fields, w_field, nd, dd, mode, psz, cur, return_accum):
+    """Shared tail of the dense engines: turn aggregated DCT-domain
+    gain/bias fields into the filtered frame.
+
+    fields: [gain(, bias(, gain_d))] each (hh, ww, F); w_field (hh, ww).
+    One inverse DCT (MXU matmul) + window overlap-add over the whole frame,
+    then normalize-or-copy-noisy [src/nlkalman.c:940-942].
+    """
+    h, w, ch = cur.shape
+    hh, ww = h - psz + 1, w - psz + 1
+
     if mode == "filter":
-        fd = g_fields[0] * nd + g_fields[1]
+        fd = fields[0] * nd + fields[1]
+    elif dd is None:
+        # smoother without a next frame: gain_d is identically zero
+        # (full passthrough), so the dd term vanishes
+        fd = fields[0] * nd + fields[1]
     else:
-        fd = g_fields[0] * nd + g_fields[1] + g_fields[2] * dd
+        fd = fields[0] * nd + fields[1] + fields[2] * dd
 
     bk = jnp.asarray(_ortho_basis_kron_np(psz), cur.dtype)     # (K, K) flat basis
     fdr = fd.reshape(hh, ww, ch, psz * psz)

@@ -1,0 +1,632 @@
+"""Fully-fused Pallas TPU kernel for the NL-Kalman filter/smoother (v3).
+
+Same semantics as core.engine.dense_pass_v2 (itself validated against the
+C reference, src/nlkalman.c:518-951 / :1409-1865), but the entire hot
+chain — candidate-window distances, k-th-smallest bit-bisection
+selection, masked group statistics, Kalman/Wiener update, and the
+linearity-trick gain/bias aggregation — runs inside ONE Pallas kernel
+with everything resident in VMEM.  The v2 XLA engine materializes
+(O, rb, nx, F) window tensors in HBM (hundreds of MB per block); this
+kernel never materializes a window at all: candidates are lane-rolled
+views of a DCT-image band held in VMEM.
+
+Layout (v5e-tuned; VMEM ~128 MB):
+
+- the DCT image of all overlapping patches (hh, ww, F) is phase-split by
+  column (col = step*j + p) and stored HBM-side as (rows, step, F, C4)
+  with sites along lanes; site s lives at lane j = s + pad_l/step.
+- grid = one step per site ROW (stride step).  Each step DMAs the
+  (2*rad+step)-row band it needs; a candidate at offset (oy, ox) is
+  band[oy+rad, (ox+pad_l)%step] lane-rolled by (ox+pad_l)//step - base:
+  a single VPU rotate, no gather, no unaligned slice.
+- selection = exact bisection on the int32 bits of the distances
+  (engine.py:_kth_smallest_bits), three thresholds per site.
+- statistics/update accumulate in f32 scratch; per-offset loops skip
+  work via predication: when every site in the row has a valid temporal
+  patch (the common case), only the (2*rad_t+1)^2 inner offsets run.
+- aggregation accumulates DCT-domain gain/bias fields into a circular
+  VMEM plane buffer (rows live for 2*rad+1 steps); each step retires
+  `step` finished rows into the blocked output.  The XLA caller then
+  applies the shared finalize_fields tail (one IDCT + window fold).
+
+Supported: even patch_sz, any channel count that fits VMEM (auto
+dispatch falls back to v2 otherwise), filter/smooth, all has_prev /
+has_basic combinations.  Sharded paths (site_rows/qy_bounds) stay on v2.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..ops.dct import dct_image_all_patches
+from ..params import NLKParams
+from .nlkalman import patch_validity
+from .engine import finalize_fields
+
+_INF_BITS = int(np.float32(np.inf).view(np.int32))
+
+
+def _cdiv(a, b):
+    return -(-a // b)
+
+
+def _roll(x, sh, interpret):
+    """Lane roll: out[..., j] = x[..., (j - sh) mod n]."""
+    sh = sh % x.shape[-1]
+    if sh == 0:
+        return x
+    if interpret:
+        return jnp.roll(x, sh, axis=-1)
+    return pltpu.roll(x, sh, axis=len(x.shape) - 1)
+
+
+def _fused_pass_kernel(
+    *refs,
+    cfg: dict,
+):
+    """One grid step = one site row (or a flush step)."""
+    (step, f, rad, rad_t, n_off1, hh, ww, ns, j_base, c4p, bh, ah,
+     n_rows, n_steps, mode, has_prev, has_basic, np_t, np_x, nagg,
+     sigma2, beta_x, beta_t, sub, interpret, fw_pad) = (
+        cfg["step"], cfg["f"], cfg["rad"], cfg["rad_t"], cfg["n_off1"],
+        cfg["hh"], cfg["ww"], cfg["ns"], cfg["j_base"], cfg["c4p"],
+        cfg["bh"], cfg["ah"], cfg["n_rows"], cfg["n_steps"], cfg["mode"],
+        cfg["has_prev"], cfg["has_basic"], cfg["np_t"], cfg["np_x"],
+        cfg["nagg"], cfg["sigma2"], cfg["beta_x"], cfg["beta_t"],
+        cfg["sub"], cfg["interpret"], cfg["fw_pad"],
+    )
+    n_off = n_off1 * n_off1
+    smooth = mode == "smooth"
+    f32 = jnp.float32
+
+    i = 0
+    x_hbm = refs[i]; i += 1
+    d_hbm = refs[i] if has_prev else None; i += 1 if has_prev else 0
+    og_ref = refs[i]; i += 1
+    obw_ref = refs[i]; i += 1
+    ogd_ref = refs[i] if smooth else None; i += 1 if smooth else 0
+    band_x = refs[i]; i += 1
+    band_d = refs[i] if has_prev else None; i += 1 if has_prev else 0
+    bits_s = refs[i]; i += 1
+    pbits_s = refs[i] if has_prev else None; i += 1 if has_prev else 0
+    acc_m1c = refs[i]; i += 1
+    acc_e2 = refs[i]; i += 1
+    if has_prev:
+        acc_m0v = refs[i]; i += 1
+        acc_e0 = refs[i]; i += 1
+        acc_v01 = refs[i]; i += 1
+        acc_m0 = refs[i]; i += 1
+    nrows_s = refs[i]; i += 1
+    agg_g = refs[i]; i += 1
+    agg_bw = refs[i]; i += 1
+    agg_gd = refs[i] if smooth else None; i += 1 if smooth else 0
+    sem = refs[i]; i += 1
+    assert i == len(refs)
+
+    sr = pl.program_id(0)
+    inv_f = 1.0 / float(f)
+    inf_b = jnp.asarray(_INF_BITS, jnp.int32)
+
+    # static per-ox lane masks: lane j holds site s = j - j_base;
+    # candidate col qx = step*s + ox must lie in [0, ww)
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, c4p), 1)
+
+    def cand_x_mask(oxi):
+        ox = oxi - rad
+        lo_j = j_base + max(0, _cdiv(-ox, step))
+        hi_j = j_base + min(ns - 1, (ww - 1 - ox) // step)
+        return (li >= lo_j) & (li <= hi_j)
+
+    site_m = (li >= j_base) & (li < j_base + ns)
+
+    @pl.when(sr == 0)
+    def _init():
+        agg_g[:] = jnp.zeros_like(agg_g)
+        agg_bw[:] = jnp.zeros_like(agg_bw)
+        if smooth:
+            agg_gd[:] = jnp.zeros_like(agg_gd)
+
+    @pl.when(sr < n_rows)
+    def _compute():
+        # ---- band DMA (rows [step*sr - rad, +bh) of the patch grid) ----
+        cpx = pltpu.make_async_copy(
+            x_hbm.at[pl.ds(step * sr, bh)], band_x, sem.at[0]
+        )
+        cpx.start()
+        if has_prev:
+            cpd = pltpu.make_async_copy(
+                d_hbm.at[pl.ds(step * sr, bh)], band_d, sem.at[1]
+            )
+            cpd.start()
+            cpd.wait()
+        cpx.wait()
+
+        xp = band_x[rad, 0].astype(f32)                      # (F, C4p) center
+        if has_prev:
+            prev_p = band_d[rad, 0, f : f + 1, :].astype(f32) > 0.5
+            if mode == "filter":
+                all_temp = jnp.all(prev_p | jnp.logical_not(site_m))
+            else:
+                all_temp = jnp.asarray(False)
+        else:
+            prev_p = jnp.zeros((1, c4p), bool)
+            all_temp = jnp.asarray(False)
+        not_all_temp = jnp.logical_not(all_temp)
+
+        def off_candidates(oyi, oxi, ir_scalar):
+            """cand mask for offset (oy, ox): bounds + temporal radius."""
+            cand = cand_x_mask(oxi)
+            if mode == "filter" and has_prev:
+                # broadcast the scalar bool through i32 — Mosaic cannot
+                # lower a direct scalar-i1 -> vector-i1 broadcast
+                ir_vec = (
+                    jnp.zeros((1, c4p), jnp.int32)
+                    + ir_scalar.astype(jnp.int32)
+                ) > 0
+                cand = cand & (ir_vec | jnp.logical_not(prev_p))
+            return cand
+
+        def off_geom(oyi, oxi):
+            ox = oxi - rad
+            cidx = ox + j_base * step
+            return cidx % step, cidx // step - j_base       # phase, lane delta
+
+        def run_pred(oyi, oxi, row_ok):
+            # when every site is temporal, offsets outside rad_t are dead
+            if abs(oxi - rad) <= rad_t:
+                ir_oy = jnp.abs(oyi - rad) <= rad_t
+                return row_ok & (not_all_temp | ir_oy)
+            return row_ok & not_all_temp
+
+        def ir_scalar(oyi, oxi):
+            if abs(oxi - rad) <= rad_t:
+                return jnp.abs(oyi - rad) <= rad_t
+            return jnp.asarray(False)
+
+        # ---- phase A: distances -> masked int32 bits ----
+        bits_s[:] = jnp.full((n_off, c4p), _INF_BITS, jnp.int32)
+        if has_prev:
+            pbits_s[:] = jnp.full((n_off, c4p), _INF_BITS, jnp.int32)
+
+        def phase_a(oyi, carry):
+            qy = step * sr + (oyi - rad)
+            row_ok = (qy >= 0) & (qy < hh)
+            for oxi in range(n_off1):
+                @pl.when(run_pred(oyi, oxi, row_ok))
+                def _(oyi=oyi, oxi=oxi):
+                    p, delta = off_geom(oyi, oxi)
+                    a = _roll(band_x[oyi, p], -delta, interpret).astype(f32)
+                    d = a - xp
+                    dist = jnp.sum(d * d, axis=0, keepdims=True) * inv_f
+                    cand = off_candidates(oyi, oxi, ir_scalar(oyi, oxi))
+                    b = jnp.where(
+                        cand, jax.lax.bitcast_convert_type(dist, jnp.int32),
+                        inf_b,
+                    )
+                    o = oyi * n_off1 + oxi
+                    bits_s[pl.ds(o, 1)] = b
+                    if has_prev:
+                        wv = _roll(
+                            band_d[oyi, p, f : f + 1, :], -delta, interpret
+                        ).astype(f32) > 0.5
+                        prevc = cand & wv & prev_p
+                        pbits_s[pl.ds(o, 1)] = jnp.where(prevc, b, inf_b)
+            return carry
+
+        jax.lax.fori_loop(0, n_off1, phase_a, 0)
+
+        # ---- phase B: k-th smallest thresholds by bit bisection ----
+        if has_prev:
+            k1 = jnp.where(prev_p, np_t, np_x).astype(jnp.int32)
+        else:
+            k1 = jnp.full((1, c4p), np_x, jnp.int32)
+        k_agg = jnp.full((1, c4p), nagg, jnp.int32)
+
+        def bisect(b, k):
+            zero = jnp.zeros((1, c4p), jnp.int32)
+
+            def body(_, lh):
+                lo, hi = lh
+                mid = lo + (hi - lo) // 2
+                cnt = jnp.sum((b <= mid).astype(jnp.int32), axis=0,
+                              keepdims=True)
+                ok = cnt >= k
+                return jnp.where(ok, lo, mid + 1), jnp.where(ok, mid, hi)
+
+            lo, hi = jax.lax.fori_loop(0, 31, body, (zero, zero + inf_b))
+            return jnp.where(k <= 0, -1, hi)
+
+        if mode == "filter" and has_prev and rad_t < rad:
+            # all-temporal rows only have live bits in the inner oy band
+            i0 = (rad - rad_t) * n_off1
+            n_in = (2 * rad_t + 1) * n_off1
+
+            def _inner():
+                bi = bits_s[pl.ds(i0, n_in)]
+                pbi = pbits_s[pl.ds(i0, n_in)]
+                return bisect(bi, k1), bisect(bi, k_agg), bisect(pbi, k_agg)
+
+            def _full():
+                ba = bits_s[:]
+                pba = pbits_s[:]
+                return bisect(ba, k1), bisect(ba, k_agg), bisect(pba, k_agg)
+
+            th1, tha, thp = jax.lax.cond(all_temp, _inner, _full)
+        else:
+            ba = bits_s[:]
+            th1 = bisect(ba, k1)
+            tha = bisect(ba, k_agg)
+            thp = bisect(pbits_s[:], k_agg) if has_prev else tha
+
+        # ---- phase C: masked group statistics ----
+        acc_m1c[:] = jnp.zeros_like(acc_m1c)
+        acc_e2[:] = jnp.zeros_like(acc_e2)
+        if has_prev:
+            acc_m0v[:] = jnp.zeros_like(acc_m0v)
+            acc_e0[:] = jnp.zeros_like(acc_e0)
+            acc_v01[:] = jnp.zeros_like(acc_v01)
+            acc_m0[:] = jnp.zeros_like(acc_m0)
+        nrows_s[:] = jnp.zeros_like(nrows_s)
+
+        def phase_c(oyi, carry):
+            qy = step * sr + (oyi - rad)
+            row_ok = (qy >= 0) & (qy < hh)
+            for oxi in range(n_off1):
+                @pl.when(run_pred(oyi, oxi, row_ok))
+                def _(oyi=oyi, oxi=oxi):
+                    p, delta = off_geom(oyi, oxi)
+                    o = oyi * n_off1 + oxi
+                    b = bits_s[pl.ds(o, 1)]
+                    cand = off_candidates(oyi, oxi, ir_scalar(oyi, oxi))
+                    sel1 = cand & (b <= th1)
+                    s1f = sel1.astype(f32)
+                    a = _roll(band_x[oyi, p], -delta, interpret).astype(f32)
+                    wc = a - xp
+                    acc_m1c[:] += s1f * wc
+                    acc_e2[:] += s1f * (wc * wc)
+                    nrows_s[0:1] += s1f
+                    if has_prev:
+                        dall = _roll(band_d[oyi, p], -delta, interpret).astype(f32)
+                        wv = dall[f : f + 1, :] > 0.5
+                        dq = dall[:f]
+                        spc = sel1 & wv & prev_p
+                        spf = spc.astype(f32)
+                        wdc = dq - xp
+                        acc_m0v[:] += spf * wdc
+                        acc_e0[:] += spf * (wdc * wdc)
+                        dxw = dq - a
+                        acc_v01[:] += spf * (dxw * dxw)
+                        m0m = (spc & (b <= thp)).astype(f32)
+                        acc_m0[:] += m0m * dq
+                        nrows_s[1:2] += spf
+            return carry
+
+        jax.lax.fori_loop(0, n_off1, phase_c, 0)
+
+        # ---- phase D: Kalman/Wiener update -> per-site specs ----
+        np1 = nrows_s[0:1]
+        np0 = nrows_s[1:2] if has_prev else jnp.zeros((1, c4p), f32)
+        np1s = jnp.maximum(np1, 1.0)
+        np0s = jnp.maximum(np0, 1.0)
+
+        m1c = acc_m1c[:] / np1s
+        e2 = acc_e2[:] / np1s
+        v1 = jnp.maximum(e2 - m1c * m1c, 0.0)
+        m1_mean = m1c + xp
+
+        if has_prev:
+            m0vc = acc_m0v[:] / np0s
+            v0 = jnp.maximum(acc_e0[:] / np0s - m0vc * m0vc, 0.0)
+            v01 = acc_v01[:] / np0s
+            m0 = acc_m0[:] / jnp.minimum(np0s, float(nagg))
+        else:
+            v0 = v01 = m0 = jnp.zeros_like(v1)
+
+        temporal = np0 > 0.0                                  # (1, C4p)
+
+        if mode == "filter":
+            v_t = v0 + jnp.maximum(0.0, v01 - sub)
+            a_t = v_t / (v_t + beta_t * sigma2)
+            vp_t = jnp.sum(
+                (1.0 - a_t * a_t) * v_t + a_t * a_t * sigma2,
+                axis=0, keepdims=True,
+            )
+            v_x = jnp.maximum(0.0, v1 - sub)
+            a_x = v_x / (v_x + beta_x * sigma2)
+            vp_x = jnp.sum(a_x * v_x, axis=0, keepdims=True)
+            a = jnp.where(temporal, a_t, a_x)
+            m_ref = jnp.where(temporal, m0, m1_mean)
+            nagg_eff = jnp.minimum(
+                jnp.where(np0 > 0, np0, np1), float(nagg)
+            )
+            vp = jnp.where(temporal, vp_t, vp_x) * nagg_eff
+            wgt = 1.0 / jnp.maximum(vp, 1e-6)
+            gspec = a
+            bias = (1.0 - a) * m_ref
+            gdspec = None
+        else:
+            b_t = beta_t
+            denom = v1 + b_t * v01
+            a = jnp.where(denom > 0.0, v1 / jnp.maximum(denom, 1e-30), 0.0)
+            vp = jnp.sum(
+                (1.0 - a * a) * v1
+                + a * a * jnp.maximum(v0 - b_t * v01, 0.0),
+                axis=0, keepdims=True,
+            ) * jnp.minimum(np0, float(nagg))
+            wgt = 1.0 / jnp.maximum(vp, 1e-6)
+            pass_m = (np0 == 0.0) & site_m
+            gspec = jnp.where(pass_m, 1.0, 1.0 - a)
+            bias = jnp.zeros_like(a)
+            gdspec = jnp.where(pass_m, 0.0, a)
+            pass_w = pass_m.astype(f32) * 1e6
+
+        ones_row = jnp.ones((1, c4p), f32)
+        parts = [bias, ones_row]                              # (F+1, C4p)
+        if fw_pad > f + 1:
+            parts.append(jnp.zeros((fw_pad - f - 1, c4p), f32))
+        bwspec = jnp.concatenate(parts, axis=0)               # (fw_pad, C4p)
+
+        # ---- phase E: aggregate member weights into the plane buffer ----
+        def phase_e(oyi, carry):
+            qy = step * sr + (oyi - rad)
+            row_ok = (qy >= 0) & (qy < hh)
+            slot = jnp.mod(step * sr + oyi, ah)
+            for oxi in range(n_off1):
+                @pl.when(run_pred(oyi, oxi, row_ok))
+                def _(oyi=oyi, oxi=oxi, slot=slot):
+                    p, delta = off_geom(oyi, oxi)
+                    o = oyi * n_off1 + oxi
+                    b = bits_s[pl.ds(o, 1)]
+                    cand = off_candidates(oyi, oxi, ir_scalar(oyi, oxi))
+                    sel1 = cand & (b <= th1)
+                    if has_prev:
+                        wv = _roll(
+                            band_d[oyi, p, f : f + 1, :], -delta, interpret
+                        ).astype(f32) > 0.5
+                        prevc = sel1 & wv & prev_p
+                        m0sel = prevc & (b <= thp)
+                    # select the member mask in f32 — Mosaic cannot lower
+                    # a select between i1 vectors
+                    if mode == "filter":
+                        memsp_f = (sel1 & (b <= tha)).astype(f32)
+                        if has_prev:
+                            mem_f = jnp.where(
+                                temporal, m0sel.astype(f32), memsp_f
+                            )
+                        else:
+                            mem_f = memsp_f
+                    else:
+                        mem_f = (
+                            m0sel.astype(f32) if has_prev
+                            else jnp.zeros((1, c4p), f32)
+                        )
+                    memw = mem_f * wgt
+                    if smooth and oxi == rad:
+                        center_f = (oyi == rad).astype(f32)
+                        memw = memw + pass_w * center_f
+
+                    @pl.when(jnp.max(memw) > 0.0)
+                    def _():
+                        gc = _roll(memw * gspec, delta, interpret)
+                        agg_g[slot, p] += gc
+                        bwc = _roll(memw * bwspec, delta, interpret)
+                        agg_bw[slot, p] += bwc
+                        if smooth:
+                            gdc = _roll(memw * gdspec, delta, interpret)
+                            agg_gd[slot, p] += gdc
+            return carry
+
+        jax.lax.fori_loop(0, n_off1, phase_e, 0)
+
+    # ---- retirement: rows [step*sr - rad, +step) are final; slot
+    # convention matches phase E: slot = (patch_row + rad) mod AH ----
+    for i2 in range(step):
+        slot_i = jnp.mod(step * sr + i2, ah)
+        og_ref[i2] = agg_g[slot_i]
+        agg_g[slot_i] = jnp.zeros_like(agg_g[slot_i])
+        obw_ref[i2] = agg_bw[slot_i]
+        agg_bw[slot_i] = jnp.zeros_like(agg_bw[slot_i])
+        if smooth:
+            ogd_ref[i2] = agg_gd[slot_i]
+            agg_gd[slot_i] = jnp.zeros_like(agg_gd[slot_i])
+
+
+def pallas_pass_supported(
+    h: int, w: int, ch: int, prms: NLKParams, mode: str,
+    budget_bytes: int = 100 * 1024 * 1024,
+) -> bool:
+    """True when the fused kernel's VMEM plan fits the budget."""
+    psz = prms.patch_sz
+    if psz % 2 or psz < 2:
+        return False
+    step = psz // 2
+    f = ch * psz * psz
+    rad = max(prms.search_sz_x, prms.search_sz_t) if mode == "filter" \
+        else prms.search_sz_t
+    if rad < 1 or w - psz + 1 < 1 or h - psz + 1 < 1:
+        return False
+    ww = w - psz + 1
+    ns = (ww - 1) // step + 1
+    pad_l = _cdiv(rad, step) * step
+    c4 = _cdiv(pad_l + step * (ns - 1) + rad + 1, step)
+    c4p = _cdiv(c4, 128) * 128
+    bh = 2 * rad + step
+    n_off = (2 * rad + 1) ** 2
+    n_acc = 3 if mode == "smooth" else 2
+    bands = bh * step * (2 * f + 1) * c4p * 2          # bf16 x and d bands
+    bits = 2 * n_off * c4p * 4
+    agg = (2 * rad + step) * step * (n_acc * f + 1) * c4p * 4
+    outs = 2 * step * step * (n_acc * f + 1) * c4p * 4 * 2  # double-buffered
+    accs = 8 * f * c4p * 4
+    return bands + bits + agg + outs + accs < budget_bytes
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "sigma", "prms", "mode", "has_prev", "has_basic", "return_accum",
+        "window_dtype", "interpret",
+    ),
+)
+def dense_pass_pallas(
+    cur: jnp.ndarray,
+    prev: jnp.ndarray,
+    prev_valid: jnp.ndarray,
+    basic: jnp.ndarray,
+    sigma: float,
+    prms: NLKParams,
+    mode: str,
+    has_prev: bool,
+    has_basic: bool,
+    return_accum: bool = False,
+    window_dtype: str = "float32",
+    interpret: bool = False,
+):
+    """Drop-in equivalent of engine.dense_pass_v2 built on the fused kernel."""
+    h, w, ch = cur.shape
+    psz = prms.patch_sz
+    step = psz // 2
+    f = ch * psz * psz
+    hh, ww = h - psz + 1, w - psz + 1
+
+    if mode == "filter":
+        rad = max(prms.search_sz_x, prms.search_sz_t)
+    else:
+        rad = prms.search_sz_t
+    rad_t = prms.search_sz_t
+    n_off1 = 2 * rad + 1
+
+    ns = (ww - 1) // step + 1
+    n_rows = (hh - 1) // step + 1
+    pad_l = _cdiv(rad, step) * step
+    j_base = pad_l // step
+    c4 = _cdiv(pad_l + step * (ns - 1) + rad + 1, step)
+    c4p = max(_cdiv(c4, 128) * 128, 128)
+    bh = 2 * rad + step
+    ah = 2 * rad + step
+    n_steps = _cdiv(hh + rad - step, step) + 1
+    n_steps = max(n_steps, n_rows)
+    r_pad = step * (n_rows - 1) + bh
+
+    wdt = jnp.bfloat16 if window_dtype == "bfloat16" else jnp.float32
+    # channel (sublane) dims must be tile multiples — a 65-channel bf16
+    # band (F + validity) faults the DMA/layout on real hardware
+    sub_t = 16 if wdt == jnp.bfloat16 else 8
+    fd_pad = _cdiv(f + 1, sub_t) * sub_t      # d band: F + validity
+    fw_pad = _cdiv(f + 1, 8) * 8              # f32 bias+weight field
+
+    # ---- dense patch transforms (XLA) ----
+    x_img = basic if has_basic else cur
+    xd = dct_image_all_patches(x_img, psz)
+    nd = dct_image_all_patches(cur, psz) if has_basic else xd
+    if has_prev:
+        dd = dct_image_all_patches(prev, psz)
+        pval = patch_validity(prev_valid, psz)
+    else:
+        dd = None
+        pval = None
+
+    def prep(arr):
+        fc = arr.shape[-1]
+        a = jnp.pad(
+            arr,
+            [(rad, r_pad - rad - hh), (pad_l, step * c4p - pad_l - ww),
+             (0, 0)],
+        )
+        a = a.reshape(r_pad, c4p, step, fc).transpose(0, 2, 3, 1)
+        return a.astype(wdt)
+
+    x_hbm = prep(xd)
+    ins = [x_hbm]
+    if has_prev:
+        pad_ch = jnp.zeros(dd.shape[:2] + (fd_pad - f - 1,), dd.dtype)
+        d_hbm = prep(
+            jnp.concatenate(
+                [dd, pval.astype(dd.dtype)[..., None], pad_ch], axis=-1
+            )
+        )
+        ins.append(d_hbm)
+
+    smooth = mode == "smooth"
+    out_shapes = [
+        jax.ShapeDtypeStruct((n_steps * step, step, f, c4p), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps * step, step, fw_pad, c4p), jnp.float32),
+    ]
+    if smooth:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((n_steps * step, step, f, c4p), jnp.float32)
+        )
+
+    def out_spec(fc):
+        return pl.BlockSpec(
+            (step, step, fc, c4p), lambda s: (s, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_specs = [out_spec(f), out_spec(fw_pad)]
+    if smooth:
+        out_specs.append(out_spec(f))
+
+    n_off = n_off1 * n_off1
+    scratch = [pltpu.VMEM((bh, step, f, c4p), wdt)]
+    if has_prev:
+        scratch.append(pltpu.VMEM((bh, step, fd_pad, c4p), wdt))
+    scratch.append(pltpu.VMEM((n_off, c4p), jnp.int32))
+    if has_prev:
+        scratch.append(pltpu.VMEM((n_off, c4p), jnp.int32))
+    n_acc_scr = 6 if has_prev else 2
+    scratch += [pltpu.VMEM((f, c4p), jnp.float32)] * n_acc_scr
+    scratch.append(pltpu.VMEM((8, c4p), jnp.float32))         # np1/np0 rows
+    scratch.append(pltpu.VMEM((ah, step, f, c4p), jnp.float32))
+    scratch.append(pltpu.VMEM((ah, step, fw_pad, c4p), jnp.float32))
+    if smooth:
+        scratch.append(pltpu.VMEM((ah, step, f, c4p), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+
+    cfg = dict(
+        step=step, f=f, rad=rad, rad_t=rad_t, n_off1=n_off1, hh=hh, ww=ww,
+        ns=ns, j_base=j_base, c4p=c4p, bh=bh, ah=ah, n_rows=n_rows,
+        n_steps=n_steps, mode=mode, has_prev=has_prev, has_basic=has_basic,
+        np_t=prms.npatches_t, np_x=prms.npatches_x, nagg=prms.npatches_tagg,
+        sigma2=sigma * sigma, beta_x=prms.beta_x, beta_t=prms.beta_t,
+        sub=0.0 if has_basic else sigma * sigma, interpret=interpret,
+        fw_pad=fw_pad,
+    )
+
+    outs = pl.pallas_call(
+        functools.partial(_fused_pass_kernel, cfg=cfg),
+        grid=(n_steps,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(ins),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shapes),
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*ins)
+
+    def unphase(o):
+        rows = o.shape[0]
+        fc = o.shape[2]
+        t = o.transpose(0, 3, 1, 2).reshape(rows, c4p * step, fc)
+        return t[rad : rad + hh, pad_l : pad_l + ww]
+
+    g = unphase(outs[0])
+    bw = unphase(outs[1])
+    fields = [g, bw[..., :f]]
+    if smooth:
+        fields.append(unphase(outs[2]))
+    w_field = bw[..., f]
+
+    return finalize_fields(
+        fields, w_field, nd, dd, mode, psz, cur, return_accum
+    )

@@ -374,6 +374,32 @@ def _auto_chunk(h: int, w: int, ch: int, psz: int, rad: int) -> int:
     return int(c)
 
 
+def _pick_engine(engine: str, h: int, w: int, ch: int,
+                 prms: NLKParams, mode: str) -> str:
+    """Resolve the engine: explicit arg > BNLK_ENGINE env > auto.
+
+    auto = the fused Pallas kernel (engine_pallas) on TPU whenever its
+    VMEM plan fits, else the dense XLA v2 engine.
+    """
+    import os
+
+    if engine in ("v1", "v2", "pallas"):
+        return engine
+    env = os.environ.get("BNLK_ENGINE", "auto")
+    if env in ("v1", "v2", "pallas"):
+        return env
+    try:
+        backend = jax.default_backend()
+    except Exception:  # pragma: no cover - no backend at all
+        backend = "cpu"
+    if backend == "tpu":
+        from .engine_pallas import pallas_pass_supported
+
+        if pallas_pass_supported(h, w, ch, prms, mode):
+            return "pallas"
+    return "v2"
+
+
 def nlkalman_filter_frame(
     nisy: jnp.ndarray,
     deno0: jnp.ndarray | None,
@@ -382,7 +408,7 @@ def nlkalman_filter_frame(
     sigma: float,
     prms: NLKParams,
     chunk_sites: int | None = None,
-    engine: str = "v2",
+    engine: str = "auto",
 ) -> jnp.ndarray:
     """One NL-Kalman filtering pass over a frame (OPP color space).
 
@@ -403,6 +429,16 @@ def nlkalman_filter_frame(
     else:
         deno0 = jnp.where(prev_valid[..., None], deno0, 0.0)
     basic = bsic1 if has_basic else nisy
+    engine = _pick_engine(engine, h, w, ch, prms, "filter")
+    if engine == "pallas":
+        import os
+        from .engine_pallas import dense_pass_pallas
+
+        return dense_pass_pallas(
+            nisy, deno0, prev_valid, basic, float(sigma), prms, "filter",
+            has_prev, has_basic,
+            window_dtype=os.environ.get("BNLK_WINDOW_DTYPE", "float32"),
+        )
     if engine == "v2":
         import os
         from .engine import dense_pass_v2, auto_rows_per_block
@@ -429,7 +465,7 @@ def nlkalman_smooth_frame(
     prms: NLKParams,
     bsic1: jnp.ndarray | None = None,
     chunk_sites: int | None = None,
-    engine: str = "v2",
+    engine: str = "auto",
 ) -> jnp.ndarray:
     """One RTS smoothing pass (OPP space).
 
@@ -447,6 +483,16 @@ def nlkalman_smooth_frame(
     else:
         smoo0 = jnp.where(prev_valid[..., None], smoo0, 0.0)
     basic = bsic1 if has_basic else filt1
+    engine = _pick_engine(engine, h, w, ch, prms, "smooth")
+    if engine == "pallas":
+        import os
+        from .engine_pallas import dense_pass_pallas
+
+        return dense_pass_pallas(
+            filt1, smoo0, prev_valid, basic, float(sigma), prms, "smooth",
+            has_prev, has_basic,
+            window_dtype=os.environ.get("BNLK_WINDOW_DTYPE", "float32"),
+        )
     if engine == "v2":
         import os
         from .engine import dense_pass_v2, auto_rows_per_block
