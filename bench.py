@@ -1,15 +1,17 @@
-"""Benchmark: 1080p grayscale frames/sec/chip at sigma=20.
+"""Benchmark: 1080p grayscale frames/sec/chip at sigma=20, FULL pipeline.
 
-Measures the full per-frame pipeline step (TV-L1 backward flow at fscale=1
-+ occlusion mask + bicubic warps + two NL-Kalman filtering passes) on the
-real TPU chip, scanning a sequence after one warmup compile.  Prints ONE
-JSON line {"metric", "value", "unit", "vs_baseline"}.
+Measures the complete nlkalman-seq.sh equivalent per frame on the real
+TPU chip: TV-L1 backward flow + occlusion + warps + two NL-Kalman filter
+passes (forward scan), then TV-L1 forward flow + occlusion + warp + RTS
+smoother pass (backward scan) — i.e. 2 flows + 3 NL-Kalman passes per
+frame, nothing omitted.  Also measures the multiscale msnlkalman
+throughput (BASELINE.json config 5) and reports it in the metric string.
 
-vs_baseline is value / 30 fps — the BASELINE.json north star (the C
-reference publishes no throughput numbers; 30 fps/chip at 1080p is the
-target the driver records).
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}; value is
+the full-pipeline fps, vs_baseline = value / 30 fps (the BASELINE.json
+north star — the C reference publishes no throughput numbers).
 
-Env overrides: BENCH_H, BENCH_W, BENCH_FRAMES, BENCH_SIGMA.
+Env overrides: BENCH_H, BENCH_W, BENCH_FRAMES, BENCH_SIGMA, BENCH_MS=0.
 """
 
 import json
@@ -17,7 +19,7 @@ import os
 import sys
 import time
 
-# bf16 window tensors: PSNR-gated neutral (see ROUND_NOTES.md), ~16% faster
+# bf16 window tensors: PSNR-gated neutral (see ROUND_NOTES.md)
 os.environ.setdefault("BNLK_WINDOW_DTYPE", "bfloat16")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -31,24 +33,48 @@ def main():
     import jax.numpy as jnp
     from bwd_nlkalman_tpu.params import default_params, FilterMode
     from bwd_nlkalman_tpu.pipeline.sequence import filter_frame_pair, FlowConfig
+    from bwd_nlkalman_tpu.pipeline.multiscale import (
+        _filter_level, ms_smooth_sequence,
+    )
+    from bwd_nlkalman_tpu.core import nlkalman_smooth_frame
+    from bwd_nlkalman_tpu.flow import occlusion_mask
+    from bwd_nlkalman_tpu.flow.tvl1 import luma
+    from bwd_nlkalman_tpu.ops.color import rgb2opp, opp2rgb
+    from bwd_nlkalman_tpu.ops.warp import warp_bicubic_nan
 
     h = int(os.environ.get("BENCH_H", 1080))
     w = int(os.environ.get("BENCH_W", 1920))
     frames = int(os.environ.get("BENCH_FRAMES", 4))
     sigma = float(os.environ.get("BENCH_SIGMA", 20.0))
+    run_ms = os.environ.get("BENCH_MS", "1") != "0"
 
     p1 = default_params(sigma, FilterMode.FLT1)
     p2 = default_params(sigma, FilterMode.FLT2)
+    ps = default_params(sigma, FilterMode.SMO1)
     cfg = FlowConfig()
 
     @jax.jit
-    def frame_step(frame, f1, f2):
+    def filter_step(frame, f1, f2):
         return filter_frame_pair(frame, f1, f2, sigma, p1, p2, cfg)
 
-    def seq_step(noisy_frames, f1, f2):
+    @jax.jit
+    def smooth_step(flt2_t, smo_next):
+        flow = cfg.flow(luma(flt2_t), luma(smo_next))
+        occ = occlusion_mask(flow, cfg.occ_threshold)
+        w0, v0 = warp_bicubic_nan(rgb2opp(smo_next), flow, occ)
+        return opp2rgb(
+            nlkalman_smooth_frame(rgb2opp(flt2_t), w0, v0, sigma, ps)
+        )
+
+    def full_pipeline(noisy_frames, f1, f2):
+        flt2 = []
         for t in range(noisy_frames.shape[0]):
-            f1, f2 = frame_step(noisy_frames[t], f1, f2)
-        return f1, f2
+            f1, f2 = filter_step(noisy_frames[t], f1, f2)
+            flt2.append(f2)
+        smo = flt2[-1]
+        for t in range(len(flt2) - 2, -1, -1):
+            smo = smooth_step(flt2[t], smo)
+        return smo
 
     rng = np.random.default_rng(0)
     base = rng.uniform(40, 215, (h + 8, w + 8)).astype(np.float32)
@@ -62,18 +88,86 @@ def main():
     def sync(o):
         # force completion with minimal transfer (block_until_ready does
         # not await remote completion on the tunneled axon platform)
-        return np.asarray(jax.device_get(o[0][:1, :1]))
+        return np.asarray(jax.device_get(o[:1, :1]))
 
-    # warmup/compile (per-frame step compiles once)
-    sync(seq_step(noisy[:1], f1, f2))
+    # warmup/compile (per-frame steps compile once)
+    sync(full_pipeline(noisy[:2], f1, f2))
 
     t0 = time.perf_counter()
-    sync(seq_step(noisy, f1, f2))
+    sync(full_pipeline(noisy, f1, f2))
     dt = time.perf_counter() - t0
-
     fps = frames / dt
+
+    ms_txt = ""
+    if run_ms:
+        # multiscale msnlkalman (BASELINE config 5): per-frame pyramid
+        # decompose + per-level flow/filter + recompose, multiscale
+        # backward smoothing.  Per-frame host loop with per-level jitted
+        # steps (one compile per level shape).
+        from bwd_nlkalman_tpu.ops.pyramid import (
+            dct_decompose, dct_recompose, auto_pyramid_levels,
+        )
+        levels = auto_pyramid_levels(h, w)
+        sig_l = [sigma / (2.0 ** l) for l in range(levels)]
+        mp1 = [default_params(s, FilterMode.FLT1) for s in sig_l]
+        mp2 = [default_params(s, FilterMode.FLT2) for s in sig_l]
+
+        deco = jax.jit(lambda img: tuple(dct_decompose(img, levels, 2.0)))
+        reco = jax.jit(lambda lv: dct_recompose(list(lv), 0.7))
+        lvl_step = [
+            jax.jit(
+                lambda n, a, b, l=l: _filter_level(n, a, b, sig_l[l], mp1[l], mp2[l])
+            )
+            for l in range(levels)
+        ]
+        lvl_first = [
+            jax.jit(
+                lambda n, l=l: _filter_level(n, None, None, sig_l[l], mp1[l], mp2[l])
+            )
+            for l in range(levels)
+        ]
+        smo_lvl = [
+            jax.jit(lambda f, s, l=l: smooth_step(f, s)) for l in range(levels)
+        ]
+
+        def ms_pipeline(noisy_frames):
+            t_n = noisy_frames.shape[0]
+            prev1 = prev2 = None
+            flt2_lv = []
+            for t in range(t_n):
+                pyr_n = deco(noisy_frames[t])
+                if prev2 is None:
+                    outs = [lvl_first[l](pyr_n[l]) for l in range(levels)]
+                else:
+                    pyr_f1 = deco(prev1)
+                    pyr_f2 = deco(prev2)
+                    outs = [
+                        lvl_step[l](pyr_n[l], pyr_f1[l], pyr_f2[l])
+                        for l in range(levels)
+                    ]
+                f11 = [o[0] for o in outs]
+                f21 = [o[1] for o in outs]
+                prev1 = reco(tuple(f11)) if levels > 1 else f11[0]
+                prev2 = reco(tuple(f21)) if levels > 1 else f21[0]
+                flt2_lv.append(f21)
+            smo = [flt2_lv[-1][l] for l in range(levels)]
+            for t in range(t_n - 2, -1, -1):
+                smo = [smo_lvl[l](flt2_lv[t][l], smo[l]) for l in range(levels)]
+            out = reco(tuple(smo)) if levels > 1 else smo[0]
+            return out
+
+        sync(ms_pipeline(noisy[:2]))
+        t0 = time.perf_counter()
+        sync(ms_pipeline(noisy))
+        ms_fps = frames / (time.perf_counter() - t0)
+        ms_txt = f"; msnlkalman {levels}-level: {ms_fps:.2f} fps"
+
     print(json.dumps({
-        "metric": f"{h}p gray frames/sec/chip at sigma={sigma:g} (flow + two-pass NL-Kalman filter)",
+        "metric": (
+            f"{h}p gray full-pipeline frames/sec/chip at sigma={sigma:g} "
+            f"(2 TV-L1 flows + 2-pass filter + RTS smoother per frame"
+            f"{ms_txt})"
+        ),
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 30.0, 4),

@@ -7,6 +7,8 @@
 | tvl1flow           | tvl1flow (lib/tvl1flow/main.c)       |
 | nlkalman_seq       | scripts/nlkalman-seq.sh + -gt.sh     |
 | msnlkalman_seq     | scripts/msnlkalman-seq.sh + -gt.sh   |
+| msnlkalman_lz3_seq | scripts/msnlkalman-lz3-seq.sh + -gt  |
+| iion               | iion (lib/imscript-lite/src/iion.c)  |
 | awgn               | awgn (lib/imscript-lite)             |
 | psnr               | scripts/psnr.sh                      |
 | decompose          | decompose (lib/multiscale)           |

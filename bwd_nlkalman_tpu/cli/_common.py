@@ -28,6 +28,31 @@ def add_prms_group(ap: argparse.ArgumentParser, prefix: str, title: str):
     g.add_argument(f"--{prefix}_l", type=float, default=-1.0, help="patch distance lambda")
 
 
+def check_size(name: str, arr, ref, ref_name: str = "input",
+               channels: int | None = None) -> None:
+    """Hard-fail on frame size/channel mismatches like the reference
+    binaries (src/main-flt.c:233-261, src/main-smo.c:120-165): print the
+    offending geometry to stderr and exit(1) instead of letting a shape
+    error (or silent broadcast) escape from the kernels."""
+    import sys
+
+    if arr.shape[0] != ref.shape[0] or arr.shape[1] != ref.shape[1]:
+        print(
+            f"error: {name} and {ref_name} size mismatch: "
+            f"{arr.shape[1]}x{arr.shape[0]} vs {ref.shape[1]}x{ref.shape[0]}",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
+    want_ch = ref.shape[2] if channels is None else channels
+    got_ch = arr.shape[2] if arr.ndim == 3 else 1
+    if got_ch != want_ch:
+        print(
+            f"error: {name} has {got_ch} channels, expected {want_ch}",
+            file=sys.stderr,
+        )
+        raise SystemExit(1)
+
+
 def prms_from_args(args, prefix: str) -> NLKParams:
     a = vars(args)
     return NLKParams(

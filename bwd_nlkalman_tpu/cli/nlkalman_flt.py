@@ -11,7 +11,7 @@ import sys
 
 import numpy as np
 
-from ._common import add_prms_group, prms_from_args, setup_jax
+from ._common import add_prms_group, check_size, prms_from_args, setup_jax
 from ..io import read_image, write_image
 from ..params import FilterMode, default_params
 
@@ -43,15 +43,27 @@ def main(argv=None):
     p1 = default_params(args.sigma, FilterMode.FLT1, prms_from_args(args, "f1"))
     p2 = default_params(args.sigma, FilterMode.FLT2, prms_from_args(args, "f2"))
 
-    nisy = jnp.asarray(read_image(args.nisy))
-    bflo = jnp.asarray(read_image(args.bflo)) if args.bflo else None
-    bocc = jnp.asarray(read_image(args.bocc)[..., 0]) if args.bocc else None
+    nisy_np = read_image(args.nisy)
+    nisy = jnp.asarray(nisy_np)
+    bflo = None
+    if args.bflo:
+        bflo_np = read_image(args.bflo)
+        check_size("flow", bflo_np, nisy_np, "noisy frame", channels=2)
+        bflo = jnp.asarray(bflo_np)
+    bocc = None
+    if args.bocc:
+        bocc_np = read_image(args.bocc)
+        check_size("occlusion mask", bocc_np, nisy_np, "noisy frame",
+                   channels=bocc_np.shape[2] if bocc_np.ndim == 3 else 1)
+        bocc = jnp.asarray(bocc_np[..., 0])
     n_opp = rgb2opp(nisy)
 
     def load_warp(path):
         if path is None or bflo is None:
             return None, None
-        img = rgb2opp(jnp.asarray(read_image(path)))
+        img_np = read_image(path)
+        check_size(path, img_np, nisy_np, "noisy frame")
+        img = rgb2opp(jnp.asarray(img_np))
         return warp_bicubic_nan(img, bflo, bocc)
 
     flt11 = None

@@ -27,11 +27,24 @@ def main(argv=None):
     ap.add_argument("output", help="output folder")
     ap.add_argument("--no-smoothing", action="store_true",
                     help='SPM=="no" mode (filtering only)')
+    ap.add_argument("--smoother", choices=["rts", "fsmo", "lsmo", "none"],
+                    default="rts",
+                    help="smoothing variant: rts = full backward pass "
+                    "(nlkalman-seq.sh), fsmo = causal forward smoothing "
+                    "(nlkalman-fsmo-seq.sh), lsmo = lag-1 smoother "
+                    "(nlkalman-lsmo-seq.sh), none = filtering only")
     ap.add_argument("--multiscale", action="store_true",
                     help="msnlkalman multiscale pipeline")
+    ap.add_argument("--pyramid", choices=["dct", "lz3"], default="dct",
+                    help="multiscale pyramid: dct (msnlkalman-seq.sh) or "
+                    "lz3 Lanczos-3 (msnlkalman-lz3-seq.sh)")
     ap.add_argument("--levels", type=int, default=None, help="pyramid levels")
     ap.add_argument("--gt-pattern", default=None,
                     help="clean frame pattern: add noise here, report PSNR")
+    ap.add_argument("--png-archive", action="store_true",
+                    help="also write png copies of all outputs (the gt "
+                    "harness's iion tif->png step, "
+                    "scripts/nlkalman-seq-gt.sh:123-129)")
     ap.add_argument("--seed", type=int, default=0, help="noise seed base (with --gt-pattern)")
     ap.add_argument("--fscale", type=int, default=1)
     ap.add_argument("--flow-lambda", type=float, default=0.25)
@@ -58,18 +71,32 @@ def main(argv=None):
     else:
         noisy = read_video(args.sequence, args.first, args.last)
 
+    smoother = "none" if args.no_smoothing else args.smoother
     if args.multiscale:
         flt1, flt2, smo1 = ms_denoise_sequence(
             jnp.asarray(noisy), args.sigma, levels=args.levels,
-            smoothing=not args.no_smoothing,
+            smoothing=smoother != "none", pyramid=args.pyramid,
         )
     else:
         cfg = FlowConfig(fscale=args.fscale, lambda_=args.flow_lambda,
                          occ_threshold=args.occ_threshold)
-        flt1, flt2, smo1 = denoise_sequence(
-            jnp.asarray(noisy), args.sigma, flow_cfg=cfg,
-            smoothing=not args.no_smoothing,
-        )
+        if smoother == "fsmo":
+            from ..pipeline import fsmo_sequence
+
+            flt1, flt2, smo1 = fsmo_sequence(
+                jnp.asarray(noisy), args.sigma, flow_cfg=cfg
+            )
+        elif smoother == "lsmo":
+            from ..pipeline import filter_sequence, lsmo_sequence
+
+            flt1, flt2 = filter_sequence(jnp.asarray(noisy), args.sigma,
+                                         flow_cfg=cfg)
+            smo1 = lsmo_sequence(flt2, args.sigma, flow_cfg=cfg)
+        else:
+            flt1, flt2, smo1 = denoise_sequence(
+                jnp.asarray(noisy), args.sigma, flow_cfg=cfg,
+                smoothing=smoother != "none",
+            )
 
     stacks = {"flt1": np.asarray(flt1), "flt2": np.asarray(flt2)}
     if smo1 is not None:
@@ -79,6 +106,11 @@ def main(argv=None):
             write_image(
                 os.path.join(args.output, f"{name}-{args.first+i:03d}.tif"), stack[i]
             )
+            if args.png_archive:
+                write_image(
+                    os.path.join(args.output, f"{name}-{args.first+i:03d}.png"),
+                    np.clip(stack[i], 0, 255),
+                )
 
     if clean is not None:
         text = gt_measures(clean, stacks)

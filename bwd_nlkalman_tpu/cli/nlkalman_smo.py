@@ -7,7 +7,7 @@ import sys
 
 import numpy as np
 
-from ._common import add_prms_group, prms_from_args, setup_jax
+from ._common import add_prms_group, check_size, prms_from_args, setup_jax
 from ..io import read_image, write_image
 from ..params import FilterMode, default_params
 
@@ -32,11 +32,22 @@ def main(argv=None):
     from ..ops.warp import warp_bicubic_nan
 
     ps = default_params(args.sigma, FilterMode.SMO1, prms_from_args(args, "s1"))
-    flt1 = rgb2opp(jnp.asarray(read_image(args.flt1)))
-    smo0 = rgb2opp(jnp.asarray(read_image(args.smo0)))
+    flt1_np = read_image(args.flt1)
+    smo0_np = read_image(args.smo0)
+    check_size("smoothed frame t+1", smo0_np, flt1_np, "filtered frame")
+    flt1 = rgb2opp(jnp.asarray(flt1_np))
+    smo0 = rgb2opp(jnp.asarray(smo0_np))
     if args.fflo:
-        fflo = jnp.asarray(read_image(args.fflo))
-        focc = jnp.asarray(read_image(args.focc)[..., 0]) if args.focc else None
+        fflo_np = read_image(args.fflo)
+        check_size("flow", fflo_np, flt1_np, "filtered frame", channels=2)
+        fflo = jnp.asarray(fflo_np)
+        if args.focc:
+            focc_np = read_image(args.focc)
+            check_size("occlusion mask", focc_np, flt1_np, "filtered frame",
+                       channels=focc_np.shape[2] if focc_np.ndim == 3 else 1)
+            focc = jnp.asarray(focc_np[..., 0])
+        else:
+            focc = None
         smo0, valid = warp_bicubic_nan(smo0, fflo, focc)
     else:
         valid = None

@@ -229,16 +229,19 @@ def denoise_sequence(
     ps: NLKParams | None = None,
     flow_cfg: FlowConfig = FlowConfig(),
     smoothing: bool = True,
+    smooth_flow_cfg: FlowConfig | None = None,
 ):
     """Full pipeline: two-pass forward filtering + backward smoothing.
 
     Returns (flt1, flt2, smo1) stacks; smo1 is None when smoothing=False
-    (the SPM=="no" mode, scripts/nlkalman-seq.sh:114).
+    (the SPM=="no" mode, scripts/nlkalman-seq.sh:114).  smooth_flow_cfg
+    lets the backward pass use its own flow parameters (the second OPM
+    triple, scripts/nlkalman-seq.sh:12); defaults to flow_cfg.
     """
     flt1, flt2 = filter_sequence(noisy, sigma, p1, p2, flow_cfg)
     if not smoothing:
         return flt1, flt2, None
-    smo1 = smooth_sequence(flt2, sigma, ps, flow_cfg)
+    smo1 = smooth_sequence(flt2, sigma, ps, smooth_flow_cfg or flow_cfg)
     return flt1, flt2, smo1
 
 

@@ -7,4 +7,6 @@ from .search import (  # noqa: F401
     coordinate_descent,
     format_table_row,
     line_search,
+    gradient_descent,
+    grid_search_2d,
 )

@@ -57,10 +57,15 @@ def evaluate(
     first_frame: int = 10,
     border: int = 10,
     smoothing: bool = True,
+    flow_cfg=None,
+    smooth_flow_cfg=None,
 ) -> TrialResult:
     """Mean per-stage MSE/PSNR of one parameter set over clean sequences."""
     import jax.numpy as jnp
+    from ..pipeline import FlowConfig
 
+    if flow_cfg is None:
+        flow_cfg = FlowConfig()
     mses = {"flt1": [], "flt2": [], "smo1": []}
     psnrs = {"flt1": [], "flt2": [], "smo1": []}
     for si, clean in enumerate(clean_seqs):
@@ -70,7 +75,8 @@ def evaluate(
         )
         noisy = add_noise_sequence(np.asarray(clean, np.float32), sigma, seq_seeds)
         flt1, flt2, smo1 = denoise_sequence(
-            jnp.asarray(noisy), sigma, p1, p2, ps, smoothing=smoothing
+            jnp.asarray(noisy), sigma, p1, p2, ps, smoothing=smoothing,
+            flow_cfg=flow_cfg, smooth_flow_cfg=smooth_flow_cfg,
         )
         ff = min(first_frame, t - 1)
         stacks = {"flt1": np.asarray(flt1), "flt2": np.asarray(flt2)}
@@ -211,5 +217,118 @@ def line_search(
         if table_path:
             with open(table_path, "a") as fh:
                 fh.write(format_table_row(r) + "\n")
+    results.sort(key=lambda t: t[1].mse[objective])
+    return results
+
+
+_BETA_ATTR = {"bx": "beta_x", "bt": "beta_t"}
+
+
+def _with_betas(sigma, betas: dict):
+    """Params triple with the given {"f1_bx": v, ...} beta overrides."""
+    p1 = default_params(sigma, FilterMode.FLT1)
+    p2 = default_params(sigma, FilterMode.FLT2)
+    ps = default_params(sigma, FilterMode.SMO1)
+    out = {"f1": p1, "f2": p2, "s1": ps}
+    for field, v in betas.items():
+        which, key = field.split("_", 1)
+        out[which] = dataclasses.replace(out[which], **{_BETA_ATTR[key]: v})
+    return out["f1"], out["f2"], out["s1"]
+
+
+def gradient_descent(
+    clean_seqs,
+    sigma: float,
+    fields=("f1_bx", "f1_bt", "f2_bx", "f2_bt", "s1_bt"),
+    n_iters: int = 10,
+    step: float = 0.05,
+    gs: float = 0.01,
+    objective: str = "smo1",
+    first_frame: int = 10,
+    table_path: str | None = None,
+):
+    """Numerical-gradient descent on the beta parameters, mirroring
+    scripts/dev-scripts/train-gd-smoothing.sh: forward-difference gradient
+    of the objective MSE (gs step, :125-146) and update x -= step * grad
+    (:155-160).  Returns (history, final_betas); history entries are
+    TrialResults at the visited points."""
+    betas = {}
+    p1 = default_params(sigma, FilterMode.FLT1)
+    p2 = default_params(sigma, FilterMode.FLT2)
+    ps = default_params(sigma, FilterMode.SMO1)
+    src = {"f1": p1, "f2": p2, "s1": ps}
+    for field in fields:
+        which, key = field.split("_", 1)
+        betas[field] = float(getattr(src[which], _BETA_ATTR[key]))
+
+    history = []
+    for _ in range(n_iters):
+        r0 = evaluate(clean_seqs, sigma, *_with_betas(sigma, betas),
+                      first_frame=first_frame)
+        history.append(r0)
+        if table_path:
+            with open(table_path, "a") as fh:
+                fh.write(format_table_row(r0) + "\n")
+        grad = {}
+        for field in fields:
+            bumped = dict(betas)
+            bumped[field] += gs
+            rb = evaluate(clean_seqs, sigma, *_with_betas(sigma, bumped),
+                          first_frame=first_frame)
+            grad[field] = (rb.mse[objective] - r0.mse[objective]) / gs
+        for field in fields:
+            betas[field] -= step * grad[field]
+    return history, betas
+
+
+def grid_search_2d(
+    clean_seqs,
+    sigma: float,
+    field_a: str,
+    values_a,
+    field_b: str,
+    values_b,
+    objective: str = "flt2",
+    first_frame: int = 10,
+    table_path: str | None = None,
+):
+    """2-D grid search mirroring
+    scripts/dev-scripts/2d-search-filtering-oflow.sh:83-100.
+
+    Fields may be NLK beta/group fields ("f1_bx", "s1_bt", ...) or the
+    flow data-weight / occlusion-threshold pairs the reference script
+    sweeps: "fflow_lambda"/"fflow_occ" (filtering flow) and
+    "sflow_lambda"/"sflow_occ" (smoothing flow).  Returns results sorted
+    by the objective MSE as [((va, vb), TrialResult), ...]."""
+    from ..pipeline import FlowConfig
+
+    def apply(field, v, betas, fcfg, scfg):
+        if field.startswith("fflow_") or field.startswith("sflow_"):
+            attr = {"lambda": "lambda_", "occ": "occ_threshold",
+                    "fscale": "fscale"}[field.split("_", 1)[1]]
+            if field.startswith("fflow_"):
+                fcfg = dataclasses.replace(fcfg, **{attr: v})
+            else:
+                scfg = dataclasses.replace(scfg, **{attr: v})
+        else:
+            betas = dict(betas)
+            betas[field] = v
+        return betas, fcfg, scfg
+
+    results = []
+    for va in values_a:
+        for vb in values_b:
+            betas, fcfg, scfg = {}, FlowConfig(), FlowConfig()
+            betas, fcfg, scfg = apply(field_a, va, betas, fcfg, scfg)
+            betas, fcfg, scfg = apply(field_b, vb, betas, fcfg, scfg)
+            r = evaluate(
+                clean_seqs, sigma, *_with_betas(sigma, betas),
+                first_frame=first_frame, flow_cfg=fcfg,
+                smooth_flow_cfg=scfg,
+            )
+            results.append(((va, vb), r))
+            if table_path:
+                with open(table_path, "a") as fh:
+                    fh.write(format_table_row(r) + "\n")
     results.sort(key=lambda t: t[1].mse[objective])
     return results
