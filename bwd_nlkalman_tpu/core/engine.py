@@ -91,19 +91,11 @@ def _build_window(band_ph: jnp.ndarray, rb: int, nx: int, rad: int, step: int,
     return cols.reshape((n_off * n_off,) + cols.shape[2:])
 
 
-def _use_pallas_agg(backend: str) -> bool:
-    # the Pallas aggregation kernel (agg_pallas.py) is experimental: its
-    # global-plane layout still fights Mosaic's 128-lane DMA alignment
-    # (c_all = n_acc*64+1 lanes).  Round-2 folds aggregation into the
-    # fully fused NL-Kalman kernel instead.  Default: XLA chain.
-    return backend == "pallas"
-
-
 @functools.partial(
     jax.jit,
     static_argnames=(
         "sigma", "prms", "mode", "has_prev", "has_basic", "rows_per_block",
-        "agg_backend", "site_rows", "return_accum", "window_dtype",
+        "site_rows", "return_accum", "window_dtype",
     ),
 )
 def dense_pass_v2(
@@ -117,7 +109,6 @@ def dense_pass_v2(
     has_prev: bool,
     has_basic: bool,
     rows_per_block: int = 4,
-    agg_backend: str = "auto",
     site_rows: tuple | None = None,   # static (start, stop) local site rows
     qy_bounds: jnp.ndarray | None = None,  # (2,) valid local patch-row range
     return_accum: bool = False,       # return (out_acc, agg) pre-normalization
@@ -205,14 +196,7 @@ def dense_pass_v2(
     n_sh = shift_hi - shift_lo + 1                           # local rows per phase
 
     nyp = row_start + n_blocks * rb + n_sh + 2               # phase-plane rows
-    pallas_agg = _use_pallas_agg(agg_backend)
-    if pallas_agg:
-        from .agg_pallas import aggregate_block, NXT
-
-        nx_pal = -(-nx // NXT) * NXT
-        nxp = nx_pal + 8
-    else:
-        nxp = nx + n_sh + 2
+    nxp = nx + n_sh + 2
 
     n_acc = 3 if (mode == "smooth") else 2                   # gain/bias(/d)
     c_all = n_acc * f + 1                                    # fused channels
@@ -387,18 +371,6 @@ def dense_pass_v2(
                 ),
                 specs_all,
             )
-
-        if pallas_agg:
-            u6p = jnp.pad(
-                u6, ((0, 0),) * 5 + ((0, nx_pal - nx),)
-            )
-            specs_p = jnp.pad(specs_all, ((0, 0), (0, nx_pal - nx), (0, 0)))
-            g_acc = aggregate_block(
-                g_acc, u6p, specs_p,
-                jnp.reshape(sr0, (1,)).astype(jnp.int32),
-                step, n_sh, rb, c_all,
-            )
-            return g_acc, None
 
         # statically-unrolled pad+add chain (fusable; no scan-carry spills)
         pr = rb + n_sh + 1

@@ -25,9 +25,12 @@ Layout (v5e-tuned; VMEM ~128 MB):
   work via predication: when every site in the row has a valid temporal
   patch (the common case), only the (2*rad_t+1)^2 inner offsets run.
 - aggregation accumulates DCT-domain gain/bias fields into a circular
-  VMEM plane buffer (rows live for 2*rad+1 steps); each step retires
-  `step` finished rows into the blocked output.  The XLA caller then
-  applies the shared finalize_fields tail (one IDCT + window fold).
+  VMEM plane buffer (rows live for 2*rad+1 steps); retired patch rows
+  are finalized IN-KERNEL (fd = gain (.) nd + bias, inverse DCT on the
+  MXU, separable-window fold into a rolling pixel accumulator), so the
+  kernel streams out finished PIXEL rows — the output is h x w x (ch+1)
+  instead of the ~1 GB gain/bias fields, and the entire XLA finalize
+  tail disappears.
 
 Supported: even patch_sz, any channel count that fits VMEM (auto
 dispatch falls back to v2 otherwise), filter/smooth, all has_prev /
@@ -45,10 +48,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.dct import dct_image_all_patches
+from ..ops.dct import dct_image_all_patches, _ortho_basis_kron_np
+from ..ops.windows import _window_1d
 from ..params import NLKParams
 from .nlkalman import patch_validity
-from .engine import finalize_fields
 
 _INF_BITS = int(np.float32(np.inf).view(np.int32))
 
@@ -58,8 +61,19 @@ def _cdiv(a, b):
 
 
 def _roll(x, sh, interpret):
-    """Lane roll: out[..., j] = x[..., (j - sh) mod n]."""
+    """Lane roll: out[..., j] = x[..., (j - sh) mod n].
+
+    pltpu.roll on bf16 vectors wider than one vreg (e.g. 64x512) fails to
+    compile on v5e ("tpu.dynamic_rotate" lowering), while jnp.roll lowers
+    correctly for bf16 at any width (probed on hardware; NB a manual
+    two-slice concatenate MIScompiles for bf16 — do not use).  f32 keeps
+    the native rotate.
+    """
     sh = sh % x.shape[-1]
+    if x.dtype == jnp.bfloat16:
+        # upcast first: the native rotate is f32-only at multi-vreg
+        # widths, and the bf16 jnp.roll lowering (slices+concats) is slow
+        x = x.astype(jnp.float32)
     if sh == 0:
         return x
     if interpret:
@@ -74,26 +88,30 @@ def _fused_pass_kernel(
     """One grid step = one site row (or a flush step)."""
     (step, f, rad, rad_t, n_off1, hh, ww, ns, j_base, c4p, bh, ah,
      n_rows, n_steps, mode, has_prev, has_basic, np_t, np_x, nagg,
-     sigma2, beta_x, beta_t, sub, interpret, fw_pad) = (
+     sigma2, beta_x, beta_t, sub, interpret, fw_pad, ch, ph, ch_pad) = (
         cfg["step"], cfg["f"], cfg["rad"], cfg["rad_t"], cfg["n_off1"],
         cfg["hh"], cfg["ww"], cfg["ns"], cfg["j_base"], cfg["c4p"],
         cfg["bh"], cfg["ah"], cfg["n_rows"], cfg["n_steps"], cfg["mode"],
         cfg["has_prev"], cfg["has_basic"], cfg["np_t"], cfg["np_x"],
         cfg["nagg"], cfg["sigma2"], cfg["beta_x"], cfg["beta_t"],
-        cfg["sub"], cfg["interpret"], cfg["fw_pad"],
+        cfg["sub"], cfg["interpret"], cfg["fw_pad"], cfg["ch"], cfg["ph"],
+        cfg["ch_pad"],
     )
     n_off = n_off1 * n_off1
     smooth = mode == "smooth"
     f32 = jnp.float32
+    psz = 2 * step
+    psz2 = psz * psz
 
     i = 0
     x_hbm = refs[i]; i += 1
     d_hbm = refs[i] if has_prev else None; i += 1 if has_prev else 0
-    og_ref = refs[i]; i += 1
-    obw_ref = refs[i]; i += 1
-    ogd_ref = refs[i] if smooth else None; i += 1 if smooth else 0
+    n_hbm = refs[i] if has_basic else None; i += 1 if has_basic else 0
+    bk_ref = refs[i]; i += 1              # (psz2, psz2) inverse-DCT basis
+    opix_ref = refs[i]; i += 1
     band_x = refs[i]; i += 1
     band_d = refs[i] if has_prev else None; i += 1 if has_prev else 0
+    band_n = refs[i] if has_basic else None; i += 1 if has_basic else 0
     bits_s = refs[i]; i += 1
     pbits_s = refs[i] if has_prev else None; i += 1 if has_prev else 0
     acc_m1c = refs[i]; i += 1
@@ -107,6 +125,7 @@ def _fused_pass_kernel(
     agg_g = refs[i]; i += 1
     agg_bw = refs[i]; i += 1
     agg_gd = refs[i] if smooth else None; i += 1 if smooth else 0
+    pix_acc = refs[i]; i += 1
     sem = refs[i]; i += 1
     assert i == len(refs)
 
@@ -132,22 +151,33 @@ def _fused_pass_kernel(
         agg_bw[:] = jnp.zeros_like(agg_bw)
         if smooth:
             agg_gd[:] = jnp.zeros_like(agg_gd)
+        pix_acc[:] = jnp.zeros_like(pix_acc)
+
+    # ---- band DMA (rows [step*sr - rad, +bh) of the patch grid); runs
+    # on every step: flush steps still finalize real patch rows, whose
+    # nd/dd values live in band rows [0, step) ----
+    cpx = pltpu.make_async_copy(
+        x_hbm.at[pl.ds(step * sr, bh)], band_x, sem.at[0]
+    )
+    cpx.start()
+    if has_prev:
+        cpd = pltpu.make_async_copy(
+            d_hbm.at[pl.ds(step * sr, bh)], band_d, sem.at[1]
+        )
+        cpd.start()
+    if has_basic:
+        cpn = pltpu.make_async_copy(
+            n_hbm.at[pl.ds(step * sr, step)], band_n, sem.at[2]
+        )
+        cpn.start()
+    if has_prev:
+        cpd.wait()
+    if has_basic:
+        cpn.wait()
+    cpx.wait()
 
     @pl.when(sr < n_rows)
     def _compute():
-        # ---- band DMA (rows [step*sr - rad, +bh) of the patch grid) ----
-        cpx = pltpu.make_async_copy(
-            x_hbm.at[pl.ds(step * sr, bh)], band_x, sem.at[0]
-        )
-        cpx.start()
-        if has_prev:
-            cpd = pltpu.make_async_copy(
-                d_hbm.at[pl.ds(step * sr, bh)], band_d, sem.at[1]
-            )
-            cpd.start()
-            cpd.wait()
-        cpx.wait()
-
         xp = band_x[rad, 0].astype(f32)                      # (F, C4p) center
         if has_prev:
             prev_p = band_d[rad, 0, f : f + 1, :].astype(f32) > 0.5
@@ -425,17 +455,58 @@ def _fused_pass_kernel(
 
         jax.lax.fori_loop(0, n_off1, phase_e, 0)
 
-    # ---- retirement: rows [step*sr - rad, +step) are final; slot
-    # convention matches phase E: slot = (patch_row + rad) mod AH ----
+    # ---- in-kernel finalization of retired patch rows ----------------
+    # Patch rows [step*sr - rad, +step) have received every contribution
+    # (slot = (patch_row + rad) mod AH, as in phase E).  They are band
+    # rows [0, step), so fd = gain (.) nd + bias (+ gain_d (.) dd) comes
+    # straight from VMEM; inverse DCT as a psz^2 x psz^2 matmul on the
+    # MXU; the separable-window overlap-add lands in a rolling pixel
+    # accumulator (slot = (pixel_row + rad) mod PH), from which `step`
+    # finished PIXEL rows stream out per step — the whole XLA finalize
+    # tail (unphase + fd + IDCT + 64-shift fold) happens here, in VMEM.
+    bk_t = bk_ref[:]                                          # (pix, freq)
+    w1 = _window_1d("gaussian", psz)
+    wnp = np.outer(w1, w1)
+
     for i2 in range(step):
         slot_i = jnp.mod(step * sr + i2, ah)
-        og_ref[i2] = agg_g[slot_i]
+        for p in range(step):
+            gain = agg_g[slot_i, p]                           # (F, C4p)
+            bw = agg_bw[slot_i, p]                            # (fw_pad, C4p)
+            ndr = (band_n if has_basic else band_x)[i2, p].astype(f32)
+            fd = gain * ndr + bw[:f]
+            if smooth and has_prev:
+                fd = fd + agg_gd[slot_i, p] * band_d[i2, p, :f, :].astype(f32)
+            wrow = bw[f : f + 1]                              # (1, C4p)
+            pix_ch = [
+                jnp.dot(bk_t, fd[c * psz2 : (c + 1) * psz2],
+                        preferred_element_type=f32)           # (psz2, C4p)
+                for c in range(ch)
+            ]
+            for dy in range(psz):
+                p_slot = jnp.mod(step * sr + i2 + dy, ph)
+                for dx in range(psz):
+                    tp = (p + dx) % step
+                    d2 = (p + dx) // step
+                    wv = float(wnp[dy, dx])
+                    for c in range(ch):
+                        pix_acc[p_slot, tp, c : c + 1, :] += _roll(
+                            wv * pix_ch[c][dy * psz + dx : dy * psz + dx + 1],
+                            d2, interpret,
+                        )
+                    pix_acc[p_slot, tp, ch : ch + 1, :] += _roll(
+                        wv * wrow, d2, interpret
+                    )
         agg_g[slot_i] = jnp.zeros_like(agg_g[slot_i])
-        obw_ref[i2] = agg_bw[slot_i]
         agg_bw[slot_i] = jnp.zeros_like(agg_bw[slot_i])
         if smooth:
-            ogd_ref[i2] = agg_gd[slot_i]
             agg_gd[slot_i] = jnp.zeros_like(agg_gd[slot_i])
+
+    # ---- retire finished pixel rows [step*sr - rad, +step) ----
+    for i2 in range(step):
+        p_slot = jnp.mod(step * sr + i2, ph)
+        opix_ref[i2] = pix_acc[p_slot]
+        pix_acc[p_slot] = jnp.zeros_like(pix_acc[p_slot])
 
 
 def pallas_pass_supported(
@@ -472,7 +543,7 @@ def pallas_pass_supported(
     jax.jit,
     static_argnames=(
         "sigma", "prms", "mode", "has_prev", "has_basic", "return_accum",
-        "window_dtype", "interpret",
+        "window_dtype", "interpret", "stage",
     ),
 )
 def dense_pass_pallas(
@@ -488,6 +559,7 @@ def dense_pass_pallas(
     return_accum: bool = False,
     window_dtype: str = "float32",
     interpret: bool = False,
+    stage: str = "all",   # "prep" | "kernel" | "all" — profiling cut points
 ):
     """Drop-in equivalent of engine.dense_pass_v2 built on the fused kernel."""
     h, w, ch = cur.shape
@@ -507,13 +579,16 @@ def dense_pass_pallas(
     n_rows = (hh - 1) // step + 1
     pad_l = _cdiv(rad, step) * step
     j_base = pad_l // step
-    c4 = _cdiv(pad_l + step * (ns - 1) + rad + 1, step)
+    # lanes must cover both the candidate span and the folded pixel span
+    c4 = _cdiv(pad_l + max(step * (ns - 1) + rad + 1, w), step)
     c4p = max(_cdiv(c4, 128) * 128, 128)
     bh = 2 * rad + step
     ah = 2 * rad + step
-    n_steps = _cdiv(hh + rad - step, step) + 1
+    ph = 4 * step   # rolling pixel rows (live span is step + psz - 1 < 3*step)
+    # run until every PIXEL row (0 .. h-1) has been retired
+    n_steps = _cdiv(h + rad - step, step) + 1
     n_steps = max(n_steps, n_rows)
-    r_pad = step * (n_rows - 1) + bh
+    r_pad = step * (n_steps - 1) + bh
 
     wdt = jnp.bfloat16 if window_dtype == "bfloat16" else jnp.float32
     # channel (sublane) dims must be tile multiples — a 65-channel bf16
@@ -553,31 +628,33 @@ def dense_pass_pallas(
             )
         )
         ins.append(d_hbm)
+    if has_basic:
+        ins.append(prep(nd))
+
+    if stage == "prep":
+        return tuple(ins)
+
+    psz2 = psz * psz
+    ins.append(jnp.asarray(_ortho_basis_kron_np(psz).T, jnp.float32))
 
     smooth = mode == "smooth"
+    ch_pad = _cdiv(ch + 1, 8) * 8           # pixel channels + weight field
     out_shapes = [
-        jax.ShapeDtypeStruct((n_steps * step, step, f, c4p), jnp.float32),
-        jax.ShapeDtypeStruct((n_steps * step, step, fw_pad, c4p), jnp.float32),
+        jax.ShapeDtypeStruct((n_steps * step, step, ch_pad, c4p), jnp.float32),
     ]
-    if smooth:
-        out_shapes.append(
-            jax.ShapeDtypeStruct((n_steps * step, step, f, c4p), jnp.float32)
-        )
-
-    def out_spec(fc):
-        return pl.BlockSpec(
-            (step, step, fc, c4p), lambda s: (s, 0, 0, 0),
+    out_specs = [
+        pl.BlockSpec(
+            (step, step, ch_pad, c4p), lambda s: (s, 0, 0, 0),
             memory_space=pltpu.VMEM,
         )
-
-    out_specs = [out_spec(f), out_spec(fw_pad)]
-    if smooth:
-        out_specs.append(out_spec(f))
+    ]
 
     n_off = n_off1 * n_off1
     scratch = [pltpu.VMEM((bh, step, f, c4p), wdt)]
     if has_prev:
         scratch.append(pltpu.VMEM((bh, step, fd_pad, c4p), wdt))
+    if has_basic:
+        scratch.append(pltpu.VMEM((step, step, f, c4p), wdt))
     scratch.append(pltpu.VMEM((n_off, c4p), jnp.int32))
     if has_prev:
         scratch.append(pltpu.VMEM((n_off, c4p), jnp.int32))
@@ -588,7 +665,8 @@ def dense_pass_pallas(
     scratch.append(pltpu.VMEM((ah, step, fw_pad, c4p), jnp.float32))
     if smooth:
         scratch.append(pltpu.VMEM((ah, step, f, c4p), jnp.float32))
-    scratch.append(pltpu.SemaphoreType.DMA((2,)))
+    scratch.append(pltpu.VMEM((ph, step, ch_pad, c4p), jnp.float32))
+    scratch.append(pltpu.SemaphoreType.DMA((3,)))
 
     cfg = dict(
         step=step, f=f, rad=rad, rad_t=rad_t, n_off1=n_off1, hh=hh, ww=ww,
@@ -597,13 +675,17 @@ def dense_pass_pallas(
         np_t=prms.npatches_t, np_x=prms.npatches_x, nagg=prms.npatches_tagg,
         sigma2=sigma * sigma, beta_x=prms.beta_x, beta_t=prms.beta_t,
         sub=0.0 if has_basic else sigma * sigma, interpret=interpret,
-        fw_pad=fw_pad,
+        fw_pad=fw_pad, ch=ch, ph=ph, ch_pad=ch_pad,
     )
 
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * (len(ins) - 1)
+    in_specs.append(
+        pl.BlockSpec((psz2, psz2), lambda s: (0, 0), memory_space=pltpu.VMEM)
+    )
     outs = pl.pallas_call(
         functools.partial(_fused_pass_kernel, cfg=cfg),
         grid=(n_steps,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)] * len(ins),
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shapes),
         scratch_shapes=scratch,
@@ -614,19 +696,22 @@ def dense_pass_pallas(
         interpret=interpret,
     )(*ins)
 
-    def unphase(o):
-        rows = o.shape[0]
-        fc = o.shape[2]
-        t = o.transpose(0, 3, 1, 2).reshape(rows, c4p * step, fc)
-        return t[rad : rad + hh, pad_l : pad_l + ww]
+    if stage == "kernel":
+        return outs
 
-    g = unphase(outs[0])
-    bw = unphase(outs[1])
-    fields = [g, bw[..., :f]]
-    if smooth:
-        fields.append(unphase(outs[2]))
-    w_field = bw[..., f]
+    # unphase the retired pixel rows: flat row = pixel_row + rad,
+    # col = step*lane + phase = padded col (pad_l-shifted)
+    o = outs[0]                       # (n_steps*step, step, ch_pad, C4p)
+    t = o.transpose(0, 3, 1, 2).reshape(o.shape[0], c4p * step, ch_pad)
+    t = t[rad : rad + h, pad_l : pad_l + w]
+    out = t[..., :ch]
+    agg = t[..., ch]
 
-    return finalize_fields(
-        fields, w_field, nd, dd, mode, psz, cur, return_accum
+    if return_accum:
+        return out, agg
+
+    # normalize; uncovered pixels copy the input [src/nlkalman.c:940-942]
+    covered = agg > 1e-6
+    return jnp.where(
+        covered[..., None], out / jnp.maximum(agg, 1e-6)[..., None], cur
     )

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from ..ops.gaussian import gaussian_blur
 from ..ops.grad import centered_gradient, forward_gradient, divergence
-from ..ops.warp import warp_bicubic_zero, warp_bicubic_zero_multi
+from ..ops.warp import warp_bicubic_zero, warp_bicubic_zero_multi, build_taps16
 from ..ops.zoom import zoom_out, zoom_in, zoom_size
 
 MAX_ITERATIONS = 300          # tvl1flow_lib.c:24
@@ -84,10 +84,11 @@ def tvl1_flow_single_scale(
     u1, u2 = u_init[..., 0], u_init[..., 1]
     p = jnp.zeros((4, h, w), i0.dtype)  # p11, p12, p21, p22
     i1s = jnp.stack([i1, i1x, i1y], axis=-1)
+    i1s_taps = build_taps16(i1s)   # flow-independent; shared by all warps
 
     def warp_stage(carry, _):
         u1, u2, p = carry
-        wrp = warp_bicubic_zero_multi(i1s, u1, u2)
+        wrp = warp_bicubic_zero_multi(i1s, u1, u2, taps=i1s_taps)
         i1w, i1wx, i1wy = wrp[..., 0], wrp[..., 1], wrp[..., 2]
         grad = i1wx * i1wx + i1wy * i1wy
         rho_c = i1w - i1wx * u1 - i1wy * u2 - i0

@@ -239,7 +239,7 @@ def tvl1_single_scale_pallas(
     few iterations past the reference's stopping point only brings the
     iterate closer to the fixed point)."""
     from ..ops.grad import centered_gradient
-    from ..ops.warp import warp_bicubic_zero_multi
+    from ..ops.warp import warp_bicubic_zero_multi, build_taps16
 
     h, w = i0.shape
     tr = 64 if h >= 64 else 8
@@ -255,8 +255,9 @@ def tvl1_single_scale_pallas(
     p = jnp.zeros((4, h, w), i0.dtype)
 
     i1s = jnp.stack([i1, i1x, i1y], axis=-1)
+    i1s_taps = build_taps16(i1s)   # flow-independent; shared by all warps
     for _ in range(nwarps):
-        wrp = warp_bicubic_zero_multi(i1s, u1, u2)
+        wrp = warp_bicubic_zero_multi(i1s, u1, u2, taps=i1s_taps)
         i1w, i1wx, i1wy = wrp[..., 0], wrp[..., 1], wrp[..., 2]
         grad = i1wx * i1wx + i1wy * i1wy
         rho_c = i1w - i1wx * u1 - i1wy * u2 - i0

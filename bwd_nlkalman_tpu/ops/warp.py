@@ -32,15 +32,14 @@ def _cubic(v0, v1, v2, v3, x):
 
 
 
-def _gather_taps16(im: jnp.ndarray, base_y: jnp.ndarray, base_x: jnp.ndarray,
-                   pad_mode: str = "constant"):
-    """All 16 bicubic taps in ONE row-gather.
+def build_taps16(im: jnp.ndarray, pad_mode: str = "constant"):
+    """Precompute the 16-tap stack for :func:`_gather_taps16`.
 
-    im: (H, W) or (H, W, C); base_y/base_x: (H, W) int32 top-left tap
-    coords (may be out of range — caller masks).  Returns (H, W, 4, 4[, C])
-    values sampled from a zero-padded copy; a single gather of
-    16(*C)-float rows replaces 16 scalar gathers (an order of magnitude
-    faster on TPU).
+    The stack depends only on the image, not on the sampling coordinates —
+    the TV-L1 warp stage samples the SAME image (and gradients) along a
+    different flow on every warp iteration, so building it once per scale
+    amortizes the dominant cost of the warp across all nwarps gathers.
+    Returns an opaque tuple consumed by :func:`_gather_taps16`.
     """
     squeeze = im.ndim == 2
     if squeeze:
@@ -48,15 +47,33 @@ def _gather_taps16(im: jnp.ndarray, base_y: jnp.ndarray, base_x: jnp.ndarray,
     h, w, c = im.shape
     g = 4
     imp = jnp.pad(im, ((g, g + 3), (g, g + 3), (0, 0)), mode=pad_mode)
-    wp = w + 2 * g + 3
     taps = jnp.stack(
         [imp[j : j + h + 2 * g, i : i + w + 2 * g] for j in range(4) for i in range(4)],
         axis=2,
-    )  # (H+2g, W+2g, 16, C); base arrays may have a different (output) shape
+    )  # (H+2g, W+2g, 16, C)
+    flat = taps.reshape((h + 2 * g) * (w + 2 * g), 16 * c)
+    return (flat, h, w, c, squeeze)
+
+
+def _gather_taps16(im: jnp.ndarray, base_y: jnp.ndarray, base_x: jnp.ndarray,
+                   pad_mode: str = "constant", taps=None):
+    """All 16 bicubic taps in ONE row-gather.
+
+    im: (H, W) or (H, W, C); base_y/base_x: (H, W) int32 top-left tap
+    coords (may be out of range — caller masks).  Returns (H, W, 4, 4[, C])
+    values sampled from a zero-padded copy; a single gather of
+    16(*C)-float rows replaces 16 scalar gathers (an order of magnitude
+    faster on TPU).  `taps` (from :func:`build_taps16`) skips rebuilding
+    the tap stack.
+    """
+    if taps is None:
+        taps = build_taps16(im, pad_mode)
+    flat_taps, h, w, c, squeeze = taps
+    g = 4
     by = jnp.clip(base_y, -g, h + g - 1) + g
     bx = jnp.clip(base_x, -g, w + g - 1) + g
     flat = (by * (w + 2 * g) + bx).ravel()
-    out = taps.reshape((h + 2 * g) * (w + 2 * g), 16 * c)[flat]
+    out = flat_taps[flat]
     out = out.reshape(base_y.shape + (4, 4, c))
     if squeeze:
         out = out[..., 0]
@@ -186,10 +203,13 @@ def warp_bicubic_zero(im: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.nd
     return jnp.where(out_flag, 0.0, res)
 
 
-def warp_bicubic_zero_multi(ims: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+def warp_bicubic_zero_multi(ims: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
+                            taps=None) -> jnp.ndarray:
     """warp_bicubic_zero for C stacked images (H, W, C) sharing one flow —
     a single gather serves all channels (the TV-L1 warp stage warps I1 and
-    its two gradients along the same flow, tvl1flow_lib.c:145-147)."""
+    its two gradients along the same flow, tvl1flow_lib.c:145-147).
+    Pass ``taps=build_taps16(ims)`` to amortize the tap stack across
+    repeated warps of the same image."""
     h, w = ims.shape[:2]
     yy, xx = jnp.meshgrid(
         jnp.arange(h, dtype=u.dtype), jnp.arange(w, dtype=u.dtype), indexing="ij"
@@ -203,7 +223,7 @@ def warp_bicubic_zero_multi(ims: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray) ->
     bx = x0.astype(jnp.int32) - 1
     by = y0.astype(jnp.int32) - 1
     out_flag = (bx < 0) | (bx + 3 >= w) | (by < 0) | (by + 3 >= h)
-    taps = _gather_taps16(ims, by, bx)               # (H, W, 4, 4, C)
+    taps = _gather_taps16(ims, by, bx, taps=taps)    # (H, W, 4, 4, C)
     cols = [
         _cubic(taps[..., 0, i, :], taps[..., 1, i, :], taps[..., 2, i, :],
                taps[..., 3, i, :], fy)
