@@ -51,15 +51,18 @@ def _shift_left(x):
 
 def _tvl1_block_kernel(
     parity_ref, state_in, consts_ref, state_ref, err_ref, sem,
-    *, tr: int, h: int, w: int, wp: int, k_iters: int,
+    *, tr: int, h: int, w: int, wp: int, k_iters: int, khalo: int,
     tau: float, lambda_: float, theta: float,
 ):
-    """One grid step: k_iters fused iterations on one row tile."""
+    """One grid step: k_iters fused iterations on one row tile.
+
+    khalo = k_iters for multi-tile runs (information propagates one row
+    per iteration); 0 when the tile is the whole image (the state never
+    leaves VMEM within the block, so no redundant halo recompute)."""
     del state_in  # aliased with state_ref
     ty = pl.program_id(0)
     l_t = lambda_ * theta
     taut = tau / theta
-    khalo = k_iters
     read_rows = tr + 2 * khalo + 16
     r0 = ty * tr
 
@@ -177,7 +180,8 @@ def _tvl1_block_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("h", "w_real", "k_iters", "tau", "lambda_", "theta"),
+    static_argnames=("h", "w_real", "k_iters", "khalo", "tau", "lambda_",
+                     "theta"),
 )
 def tvl1_iter_block(
     state: jnp.ndarray,   # (2, 6, rows, Wp) ping-pong state
@@ -186,22 +190,24 @@ def tvl1_iter_block(
     h: int,
     w_real: int,
     k_iters: int = K_ITERS,
+    khalo: int | None = None,
     tau: float = 0.25,
     lambda_: float = 0.15,
     theta: float = 0.3,
 ):
     """Run k_iters fused TV-L1 iterations; returns (state, err)."""
     _, _, rows, wp = state.shape
-    khalo = k_iters
+    if khalo is None:
+        khalo = k_iters
     hp = rows - 2 * khalo - 16
-    tr = min(64, hp)
+    tr = hp if khalo == 0 else min(256, hp)
     while hp % tr:
         tr //= 2
     n_tiles = hp // tr
 
     kern = functools.partial(
         _tvl1_block_kernel, tr=tr, h=h, w=w_real, wp=wp, k_iters=k_iters,
-        tau=tau, lambda_=lambda_, theta=theta,
+        khalo=khalo, tau=tau, lambda_=lambda_, theta=theta,
     )
     state_out, err = pl.pallas_call(
         kern,
@@ -223,7 +229,10 @@ def tvl1_iter_block(
             pltpu.SemaphoreType.DMA((3,)),
         ],
         input_output_aliases={1: 0},
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
     )(parity, state, consts)
     return state_out, err[0, 0] / (h * w_real)
 
@@ -242,10 +251,13 @@ def tvl1_single_scale_pallas(
     from ..ops.warp import warp_bicubic_zero_multi, build_taps16
 
     h, w = i0.shape
-    tr = 64 if h >= 64 else 8
-    hp = -(-h // tr) * tr
-    khalo = k_iters
     wp = -(-w // 128) * 128
+    khalo = k_iters
+    # larger tiles amortize the 2*khalo+16-row halo recompute (2x overhead
+    # at tr=64 -> 1.25x at tr=256); VMEM at tr=256 is ~21 MB.  NB a single
+    # whole-image tile compiles pathologically slowly in Mosaic — capped.
+    tr = 256 if h >= 256 else (64 if h >= 64 else 8)
+    hp = -(-h // tr) * tr
     pad_top = khalo + 8
     pad_bot = (hp - h) + khalo + 8
     padc = wp - w
@@ -280,7 +292,7 @@ def tvl1_single_scale_pallas(
             state, parity, _, n = c
             state, err = tvl1_iter_block(
                 state, consts, parity, h=h, w_real=w, k_iters=k_iters,
-                tau=tau, lambda_=lambda_, theta=theta,
+                khalo=khalo, tau=tau, lambda_=lambda_, theta=theta,
             )
             return state, 1 - parity, err, n + k_iters
 

@@ -50,10 +50,11 @@ def _filter_level(noisy_l, f10_l, f20_l, sigma_l, p1, p2):
         return opp2rgb(f11), opp2rgb(f21)
     flow = _ms_flow(luma(noisy_l), luma(f20_l))
     occ = occlusion_mask(flow, _MS_OCC_TH)
-    w1, v1 = warp_bicubic_nan(rgb2opp(f10_l), flow, occ)
-    f11 = nlkalman_filter_frame(n_opp, w1, v1, None, sigma_l, p1)
-    w2, v2 = warp_bicubic_nan(rgb2opp(f20_l), flow, occ)
-    f21 = nlkalman_filter_frame(n_opp, w2, v2, f11, sigma_l, p2)
+    c = noisy_l.shape[-1]
+    both = jnp.concatenate([rgb2opp(f10_l), rgb2opp(f20_l)], axis=-1)
+    wb, v1 = warp_bicubic_nan(both, flow, occ)
+    f11 = nlkalman_filter_frame(n_opp, wb[..., :c], v1, None, sigma_l, p1)
+    f21 = nlkalman_filter_frame(n_opp, wb[..., c:], v1, f11, sigma_l, p2)
     return opp2rgb(f11), opp2rgb(f21)
 
 
@@ -188,10 +189,11 @@ def _lz3_filter_level(noisy_l, f10_l, f20_l, sigma_l, p1, p2):
         return opp2rgb(f11), opp2rgb(f21)
     flow = _lz3_flow(luma(noisy_l), luma(f20_l))
     occ = occlusion_mask(flow, _LZ3_OCC_TH)
-    w1, v1 = warp_bicubic_nan(rgb2opp(f10_l), flow, occ)
-    f11 = nlkalman_filter_frame(n_opp, w1, v1, None, sigma_l, p1)
-    w2, v2 = warp_bicubic_nan(rgb2opp(f20_l), flow, occ)
-    f21 = nlkalman_filter_frame(n_opp, w2, v2, f11, sigma_l, p2)
+    c = noisy_l.shape[-1]
+    both = jnp.concatenate([rgb2opp(f10_l), rgb2opp(f20_l)], axis=-1)
+    wb, v1 = warp_bicubic_nan(both, flow, occ)
+    f11 = nlkalman_filter_frame(n_opp, wb[..., :c], v1, None, sigma_l, p1)
+    f21 = nlkalman_filter_frame(n_opp, wb[..., c:], v1, f11, sigma_l, p2)
     return opp2rgb(f11), opp2rgb(f21)
 
 

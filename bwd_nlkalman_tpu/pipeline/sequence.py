@@ -85,10 +85,12 @@ def filter_frame_pair(
 
     flow = flow_cfg.flow(luma(noisy), luma(flt2_prev))
     occ = occlusion_mask(flow, flow_cfg.occ_threshold)
-    w1, v1 = warp_bicubic_nan(rgb2opp(flt1_prev), flow, occ)
-    f11 = nlkalman_filter_frame(n_opp, w1, v1, None, sigma, p1)
-    w2, v2 = warp_bicubic_nan(rgb2opp(flt2_prev), flow, occ)
-    f21 = nlkalman_filter_frame(n_opp, w2, v2, f11, sigma, p2)
+    # both previous outputs ride ONE gather: same flow => same validity
+    c = noisy.shape[-1]
+    both = jnp.concatenate([rgb2opp(flt1_prev), rgb2opp(flt2_prev)], axis=-1)
+    wb, v1 = warp_bicubic_nan(both, flow, occ)
+    f11 = nlkalman_filter_frame(n_opp, wb[..., :c], v1, None, sigma, p1)
+    f21 = nlkalman_filter_frame(n_opp, wb[..., c:], v1, f11, sigma, p2)
     return opp2rgb(f11), opp2rgb(f21)
 
 
@@ -178,13 +180,19 @@ def fsmo_sequence(
         flow = flow_cfg.flow(luma(frame), luma(flt2_prev))
         occ = occlusion_mask(flow, flow_cfg.occ_threshold)
         n_opp = rgb2opp(frame)
-        w1, v1 = warp_bicubic_nan(rgb2opp(flt1_prev), flow, occ)
-        f11 = nlkalman_filter_frame(n_opp, w1, v1, None, sigma, p1)
-        w2, v2 = warp_bicubic_nan(rgb2opp(flt2_prev), flow, occ)
-        f21 = nlkalman_filter_frame(n_opp, w2, v2, f11, sigma, p2)
+        # all three previous outputs ride ONE gather (same flow/validity)
+        c = frame.shape[-1]
+        tri = jnp.concatenate(
+            [rgb2opp(flt1_prev), rgb2opp(flt2_prev), rgb2opp(smo_prev)],
+            axis=-1,
+        )
+        wt, v1 = warp_bicubic_nan(tri, flow, occ)
+        f11 = nlkalman_filter_frame(n_opp, wt[..., :c], v1, None, sigma, p1)
+        f21 = nlkalman_filter_frame(n_opp, wt[..., c : 2 * c], v1, f11, sigma, p2)
         f21_rgb = opp2rgb(f21)
-        ws, vs = warp_bicubic_nan(rgb2opp(smo_prev), flow, occ)
-        smo = opp2rgb(nlkalman_smooth_frame(f21, ws, vs, sigma, ps))
+        smo = opp2rgb(
+            nlkalman_smooth_frame(f21, wt[..., 2 * c :], v1, sigma, ps)
+        )
         f11_rgb = opp2rgb(f11)
         return (f11_rgb, f21_rgb, smo), (f11_rgb, f21_rgb, smo)
 

@@ -1,0 +1,103 @@
+"""Real-scale parity: our TPU pipeline vs the C reference at 540p/1080p.
+
+Runs the BASELINE eval protocol (scripts/nlkalman-seq-gt.sh) at the
+stated resolutions on identical noisy input: the C nlkalman-seq.sh on
+CPU, our denoise_sequence on the chip, and reports per-stage PSNR deltas.
+
+Usage: python tools/parity_scale.py [config]
+  config in {540g, 540rgb, 1080g} (default 540g).  The C reference is
+  single-threaded on this box — budget ~minutes/frame.
+Results are appended to /tmp/parity_scale.log and printed.
+"""
+
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
+
+import numpy as np
+
+REFBIN = os.environ.get("BNLK_REFBIN", "/tmp/refbuild/bin")
+
+CONFIGS = {
+    "540g": dict(h=540, w=960, c=1, sigma=20.0, t=6),
+    "540rgb": dict(h=540, w=960, c=3, sigma=20.0, t=6),
+    "1080g": dict(h=1080, w=1920, c=1, sigma=20.0, t=4),
+    "540s40": dict(h=540, w=960, c=1, sigma=40.0, t=6),
+}
+
+
+def main():
+    cfgname = sys.argv[1] if len(sys.argv) > 1 else "540g"
+    cfg = CONFIGS[cfgname]
+    h, w, c, sigma, t = cfg["h"], cfg["w"], cfg["c"], cfg["sigma"], cfg["t"]
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/tmp/bnlk_jax_cache")
+    import jax.numpy as jnp
+    from bwd_nlkalman_tpu.pipeline import (
+        add_noise_sequence, denoise_sequence, sequence_psnr,
+    )
+    from bwd_nlkalman_tpu.io import write_tiff, read_tiff
+    from test_pipeline import make_sequence
+
+    rng = np.random.default_rng(77)
+    clean = make_sequence(rng, t=t, h=h, w=w, c=c)
+    if c == 3:
+        clean[..., 1] = 0.7 * clean[..., 1] + 30
+        clean[..., 2] = 0.5 * clean[..., 2] + 60
+    noisy = add_noise_sequence(clean, sigma, seeds=[700 + i for i in range(t)])
+
+    work = f"/tmp/parity_{cfgname}"
+    os.makedirs(work, exist_ok=True)
+    pat = os.path.join(work, "n-%03d.tif")
+    for i in range(t):
+        write_tiff(pat % (i + 1), noisy[i])
+
+    # ours, on the chip
+    t0 = time.perf_counter()
+    flt1, flt2, smo1 = denoise_sequence(jnp.asarray(noisy), sigma)
+    flt2 = np.asarray(flt2)
+    smo1 = np.asarray(smo1)
+    t_ours = time.perf_counter() - t0
+    p_j2 = sequence_psnr(clean, flt2)["psnr"]
+    p_js = sequence_psnr(clean, smo1)["psnr"]
+    print(f"[{cfgname}] ours (chip, incl. compile): flt2 {p_j2:.3f} dB, "
+          f"smo1 {p_js:.3f} dB  ({t_ours:.0f}s)", flush=True)
+
+    # C reference, CPU
+    out = os.path.join(work, "out")
+    t0 = time.perf_counter()
+    r = subprocess.run(
+        ["bash", os.path.join(REFBIN, "nlkalman-seq.sh"),
+         pat, "1", str(t), str(sigma), out],
+        capture_output=True, text=True,
+    )
+    t_c = time.perf_counter() - t0
+    last = os.path.join(out, f"smo1-{t:03d}.tif")
+    if not os.path.exists(last):
+        print("C pipeline failed:", r.stdout[-500:], r.stderr[-500:])
+        sys.exit(1)
+    c_flt2 = np.stack([read_tiff(os.path.join(out, f"flt2-{i+1:03d}.tif"))
+                       for i in range(t)])
+    c_smo1 = np.stack([read_tiff(os.path.join(out, f"smo1-{i+1:03d}.tif"))
+                       for i in range(t)])
+    p_c2 = sequence_psnr(clean, c_flt2)["psnr"]
+    p_cs = sequence_psnr(clean, c_smo1)["psnr"]
+
+    line = (
+        f"[{cfgname}] {h}x{w}x{c} sigma={sigma:g} t={t}: "
+        f"flt2 C {p_c2:.3f} vs ours {p_j2:.3f} (delta {p_j2-p_c2:+.3f} dB); "
+        f"smo1 C {p_cs:.3f} vs ours {p_js:.3f} (delta {p_js-p_cs:+.3f} dB); "
+        f"C time {t_c:.0f}s"
+    )
+    print(line, flush=True)
+    with open("/tmp/parity_scale.log", "a") as fh:
+        fh.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
