@@ -19,8 +19,9 @@ import os
 import sys
 import time
 
-# bf16 window tensors: PSNR-gated neutral (see ROUND_NOTES.md)
+# bf16 window tensors + warp taps: PSNR-gated (see ROUND_NOTES.md)
 os.environ.setdefault("BNLK_WINDOW_DTYPE", "bfloat16")
+os.environ.setdefault("BNLK_WARP_DTYPE", "bfloat16")
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 

@@ -48,7 +48,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.dct import dct_image_all_patches, _ortho_basis_kron_np
+from ..ops.dct import (
+    dct_image_all_patches, dct_image_all_patches_matmul, _ortho_basis_kron_np,
+)
 from ..ops.windows import _window_1d
 from ..params import NLKParams
 from .nlkalman import patch_validity
@@ -107,7 +109,8 @@ def _fused_pass_kernel(
     x_hbm = refs[i]; i += 1
     d_hbm = refs[i] if has_prev else None; i += 1 if has_prev else 0
     n_hbm = refs[i] if has_basic else None; i += 1 if has_basic else 0
-    bk_ref = refs[i]; i += 1              # (psz2, psz2) inverse-DCT basis
+    bk_ref = refs[i]; i += 1              # (psz2, psz2) idct basis, dx-major
+    win_ref = refs[i]; i += 1             # (psz, 128): col 0 = 1-D window
     opix_ref = refs[i]; i += 1
     band_x = refs[i]; i += 1
     band_d = refs[i] if has_prev else None; i += 1 if has_prev else 0
@@ -460,13 +463,14 @@ def _fused_pass_kernel(
     # (slot = (patch_row + rad) mod AH, as in phase E).  They are band
     # rows [0, step), so fd = gain (.) nd + bias (+ gain_d (.) dd) comes
     # straight from VMEM; inverse DCT as a psz^2 x psz^2 matmul on the
-    # MXU; the separable-window overlap-add lands in a rolling pixel
-    # accumulator (slot = (pixel_row + rad) mod PH), from which `step`
-    # finished PIXEL rows stream out per step — the whole XLA finalize
-    # tail (unphase + fd + IDCT + 64-shift fold) happens here, in VMEM.
-    bk_t = bk_ref[:]                                          # (pix, freq)
-    w1 = _window_1d("gaussian", psz)
-    wnp = np.outer(w1, w1)
+    # MXU (basis rows permuted dx-major so the window fold processes all
+    # psz dy-rows of one dx column as a single (psz, C4p) slab); the
+    # separable-window overlap-add lands in a LINEAR rolling pixel
+    # accumulator (local row = pixel_row - (step*sr - rad)) that shifts
+    # by `step` rows per step after retiring rows [0, step).
+    bk_t = bk_ref[:]                           # (dx*psz+dy, freq), permuted
+    wy = win_ref[:, 0:1]                       # (psz, 1) window column
+    wx1 = _window_1d("gaussian", psz)          # python floats for dx scale
 
     for i2 in range(step):
         slot_i = jnp.mod(step * sr + i2, ah)
@@ -483,30 +487,29 @@ def _fused_pass_kernel(
                         preferred_element_type=f32)           # (psz2, C4p)
                 for c in range(ch)
             ]
-            for dy in range(psz):
-                p_slot = jnp.mod(step * sr + i2 + dy, ph)
-                for dx in range(psz):
-                    tp = (p + dx) % step
-                    d2 = (p + dx) // step
-                    wv = float(wnp[dy, dx])
-                    for c in range(ch):
-                        pix_acc[p_slot, tp, c : c + 1, :] += _roll(
-                            wv * pix_ch[c][dy * psz + dx : dy * psz + dx + 1],
-                            d2, interpret,
-                        )
-                    pix_acc[p_slot, tp, ch : ch + 1, :] += _roll(
-                        wv * wrow, d2, interpret
+            wy_row = wy * wrow                                # (psz, C4p)
+            for dx in range(psz):
+                tp = (p + dx) % step
+                d2 = (p + dx) // step
+                wxv = float(wx1[dx])
+                for c in range(ch):
+                    slab = pix_ch[c][dx * psz : (dx + 1) * psz]
+                    pix_acc[pl.ds(i2, psz), tp, c] += _roll(
+                        (wxv * wy) * slab, d2, interpret
                     )
+                pix_acc[pl.ds(i2, psz), tp, ch] += _roll(
+                    wxv * wy_row, d2, interpret
+                )
         agg_g[slot_i] = jnp.zeros_like(agg_g[slot_i])
         agg_bw[slot_i] = jnp.zeros_like(agg_bw[slot_i])
         if smooth:
             agg_gd[slot_i] = jnp.zeros_like(agg_gd[slot_i])
 
-    # ---- retire finished pixel rows [step*sr - rad, +step) ----
-    for i2 in range(step):
-        p_slot = jnp.mod(step * sr + i2, ph)
-        opix_ref[i2] = pix_acc[p_slot]
-        pix_acc[p_slot] = jnp.zeros_like(pix_acc[p_slot])
+    # ---- retire finished pixel rows [step*sr - rad, +step), shift ----
+    opix_ref[:] = pix_acc[0:step]
+    rest = pix_acc[step:ph]
+    pix_acc[0 : ph - step] = rest
+    pix_acc[ph - step : ph] = jnp.zeros_like(pix_acc[ph - step : ph])
 
 
 def pallas_pass_supported(
@@ -597,12 +600,19 @@ def dense_pass_pallas(
     fd_pad = _cdiv(f + 1, sub_t) * sub_t      # d band: F + validity
     fw_pad = _cdiv(f + 1, 8) * 8              # f32 bias+weight field
 
-    # ---- dense patch transforms (XLA) ----
+    # ---- dense patch transforms (XLA).  bf16 band path: MATPROD matmul
+    # on the MXU (bf16-rounded inputs are subsumed by the band cast);
+    # exact-f32 path: shifted-FMA build.  NB the conv formulation was
+    # measured SLOWER (a 1-input-channel conv wastes the MXU) ----
+    dct_fn = (
+        dct_image_all_patches_matmul if wdt == jnp.bfloat16
+        else dct_image_all_patches
+    )
     x_img = basic if has_basic else cur
-    xd = dct_image_all_patches(x_img, psz)
-    nd = dct_image_all_patches(cur, psz) if has_basic else xd
+    xd = dct_fn(x_img, psz)
+    nd = dct_fn(cur, psz) if has_basic else xd
     if has_prev:
-        dd = dct_image_all_patches(prev, psz)
+        dd = dct_fn(prev, psz)
         pval = patch_validity(prev_valid, psz)
     else:
         dd = None
@@ -635,7 +645,14 @@ def dense_pass_pallas(
         return tuple(ins)
 
     psz2 = psz * psz
-    ins.append(jnp.asarray(_ortho_basis_kron_np(psz).T, jnp.float32))
+    # inverse-DCT basis with pixel rows permuted dx-major (row dx*psz+dy)
+    bk_t = _ortho_basis_kron_np(psz).T
+    perm = np.arange(psz2).reshape(psz, psz).T.reshape(-1)  # dy*psz+dx -> dx-major
+    ins.append(jnp.asarray(bk_t[perm], jnp.float32))
+    w1 = _window_1d("gaussian", psz)
+    win = np.zeros((psz, 128), np.float32)
+    win[:, 0] = w1
+    ins.append(jnp.asarray(win))
 
     smooth = mode == "smooth"
     ch_pad = _cdiv(ch + 1, 8) * 8           # pixel channels + weight field
@@ -678,9 +695,12 @@ def dense_pass_pallas(
         fw_pad=fw_pad, ch=ch, ph=ph, ch_pad=ch_pad,
     )
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * (len(ins) - 1)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * (len(ins) - 2)
     in_specs.append(
         pl.BlockSpec((psz2, psz2), lambda s: (0, 0), memory_space=pltpu.VMEM)
+    )
+    in_specs.append(
+        pl.BlockSpec((psz, 128), lambda s: (0, 0), memory_space=pltpu.VMEM)
     )
     outs = pl.pallas_call(
         functools.partial(_fused_pass_kernel, cfg=cfg),

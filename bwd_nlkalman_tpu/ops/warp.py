@@ -51,6 +51,12 @@ def build_taps16(im: jnp.ndarray, pad_mode: str = "constant"):
         [imp[j : j + h + 2 * g, i : i + w + 2 * g] for j in range(4) for i in range(4)],
         axis=2,
     )  # (H+2g, W+2g, 16, C)
+    import os
+
+    if os.environ.get("BNLK_WARP_DTYPE", "float32") == "bfloat16":
+        # TPU gathers are bandwidth-bound on the tap rows; bf16 halves the
+        # randomly-read bytes (PSNR-gated like BNLK_WINDOW_DTYPE)
+        taps = taps.astype(jnp.bfloat16)
     flat = taps.reshape((h + 2 * g) * (w + 2 * g), 16 * c)
     return (flat, h, w, c, squeeze)
 
@@ -73,7 +79,7 @@ def _gather_taps16(im: jnp.ndarray, base_y: jnp.ndarray, base_x: jnp.ndarray,
     by = jnp.clip(base_y, -g, h + g - 1) + g
     bx = jnp.clip(base_x, -g, w + g - 1) + g
     flat = (by * (w + 2 * g) + bx).ravel()
-    out = flat_taps[flat]
+    out = flat_taps[flat].astype(jnp.float32)
     out = out.reshape(base_y.shape + (4, 4, c))
     if squeeze:
         out = out[..., 0]
