@@ -23,6 +23,41 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _use_pallas_warp(h: int, w: int, c: int) -> bool:
+    """Gather-free Pallas warp backend selection (BNLK_WARP_BACKEND):
+    "gather" (default XLA gather path), "pallas" (force), "auto"
+    (pallas on TPU when the source fits VMEM)."""
+    import os
+
+    be = os.environ.get("BNLK_WARP_BACKEND", "auto")
+    if be == "gather":
+        return False
+    if h * w < (1 << 17):
+        # small pyramid levels: the XLA gather is already cheap and each
+        # extra shape costs a Mosaic compile
+        return False
+    from .warp_pallas import warp_supported
+
+    if not warp_supported(h, w, c):
+        return False
+    if be == "pallas":
+        return True
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:  # pragma: no cover
+        return False
+
+
+def _coord_grids(h, w, flow):
+    yy, xx = jnp.meshgrid(
+        jnp.arange(h, dtype=flow.dtype), jnp.arange(w, dtype=flow.dtype),
+        indexing="ij",
+    )
+    return xx + flow[..., 0], yy + flow[..., 1]
+
+
 def _cubic(v0, v1, v2, v3, x):
     """Catmull-Rom cubic (reference cubic_interpolation, src/nlkalman.c:36)."""
     return v1 + 0.5 * x * (
@@ -104,6 +139,20 @@ def warp_bicubic_nan(
     (getsample_nan, src/nlkalman.c:29-34).
     """
     h, w = im.shape[0], im.shape[1]
+    if _use_pallas_warp(h, w, im.shape[2] if im.ndim == 3 else 1):
+        from .warp_pallas import bicubic_warp_pallas
+
+        # kernel convention: base = floor(c)-1 == floor(c-1) = the
+        # reference's floor-based footprint with its -1 shift pre-applied
+        cx, cy = _coord_grids(h, w, flow)
+        im3 = im if im.ndim == 3 else im[..., None]
+        out, valid = bicubic_warp_pallas(im3, cx, cy, pad_mode="zero")
+        if occl is not None:
+            valid = valid & (occl == 0)
+        out = jnp.where(valid[..., None], out, 0.0)
+        if im.ndim == 2:
+            out = out[..., 0]
+        return out, valid
     yy, xx = jnp.meshgrid(
         jnp.arange(h, dtype=flow.dtype), jnp.arange(w, dtype=flow.dtype), indexing="ij"
     )
@@ -151,6 +200,14 @@ def bicubic_sample(
     floor-based footprint used here.
     """
     h, w = im.shape[:2]
+    if im.ndim == 2 and _use_pallas_warp(h, w, 1):
+        from .warp_pallas import bicubic_warp_pallas
+
+        out, valid = bicubic_warp_pallas(
+            im[..., None], uu, vv, pad_mode="edge"
+        )
+        res = out[..., 0]
+        return jnp.where(valid, res, 0.0) if border_out else res
     x0 = jnp.floor(uu)
     y0 = jnp.floor(vv)
     fx = uu - x0
@@ -217,6 +274,17 @@ def warp_bicubic_zero_multi(ims: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     Pass ``taps=build_taps16(ims)`` to amortize the tap stack across
     repeated warps of the same image."""
     h, w = ims.shape[:2]
+    if _use_pallas_warp(h, w, ims.shape[2]):
+        from .warp_pallas import bicubic_warp_pallas
+
+        yy, xx = jnp.meshgrid(
+            jnp.arange(h, dtype=u.dtype), jnp.arange(w, dtype=u.dtype),
+            indexing="ij",
+        )
+        out, valid = bicubic_warp_pallas(
+            ims, xx + u, yy + v, pad_mode="edge"
+        )
+        return jnp.where(valid[..., None], out, 0.0)
     yy, xx = jnp.meshgrid(
         jnp.arange(h, dtype=u.dtype), jnp.arange(w, dtype=u.dtype), indexing="ij"
     )

@@ -27,7 +27,7 @@ _VAR_RE = re.compile(
     r"^([xyzuvwabc])"            # image name
     r"(?:\((-?\d+),(-?\d+)\))?"   # optional neighbor offset
     r"(?:\[(\d+)\])?"             # optional component
-    r"(?:%([a-zA-Z]))?$"          # optional statistic
+    r"(?:%([a-zA-Z])(\d+)?)?$"    # optional statistic (+percentile rank)
 )
 
 _BINOPS = {
@@ -98,15 +98,28 @@ def plambda(expr: str, *images) -> np.ndarray:
             if m.group(4) is not None:
                 img = img[..., int(m.group(4)) : int(m.group(4)) + 1]
             if m.group(5) is not None:
+                # magic statistics (plambda.c eval_magicvar:1276-1330):
+                # i min, a max, v avg, s sum, r std, m median,
+                # q<nn> percentile (qpos = round(qq*N/100), clamped)
                 st = m.group(5)
                 if st == "v":
                     img = np.float32(img.mean())
                 elif st == "i":
                     img = np.float32(img.min())
-                elif st == "x":
+                elif st in ("a", "x"):   # 'x' kept as a max alias
                     img = np.float32(img.max())
+                elif st == "s":
+                    img = np.float32(img.sum())
+                elif st == "r":
+                    img = np.float32(img.std())
                 elif st == "m":
                     img = np.float32(np.median(img))
+                elif st == "q":
+                    qq = int(m.group(6) or 50)
+                    flat = np.sort(img.ravel())
+                    qpos = int(np.clip(round(qq * flat.size / 100.0),
+                                       0, flat.size - 1))
+                    img = np.float32(flat[qpos])
                 else:
                     raise ValueError(f"unsupported statistic %{st}")
             stack.append(img)

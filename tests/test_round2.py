@@ -93,6 +93,45 @@ def test_iion_roundtrip(tmp_path, rng):
     np.testing.assert_allclose(back, np.clip(np.round(img), 0, 255), atol=0.5)
 
 
+def test_imprintf_extended_directives(rng):
+    """Percentiles/rms/sum/distinct (imprintf.c:19-40,496-509).  The C
+    binary's -ffast-math reciprocal can land one sorted index low, so
+    values are checked against the exact formula."""
+    from bwd_nlkalman_tpu.utils.imprintf import imprintf
+
+    x = rng.uniform(0, 255, (16, 20, 1)).astype(np.float32)
+    srt = np.sort(x.ravel())
+    n = srt.size
+    out = imprintf("%q[0] %q[25] %q[100] %r %s %k %y %Y %w %h %c", x).split()
+    assert float(out[0]) == pytest.approx(srt[0], rel=1e-5)
+    assert float(out[1]) == pytest.approx(srt[(n - 1) * 25 // 100], rel=1e-5)
+    assert float(out[2]) == pytest.approx(srt[-1], rel=1e-5)
+    assert float(out[3]) == pytest.approx(np.sqrt(np.mean(x ** 2)), rel=1e-4)
+    assert float(out[4]) == pytest.approx(x.sum(), rel=1e-4)
+    assert out[5] == str(np.unique(x).size)
+    assert out[6] == "0" and out[7] == "0"
+    assert out[8] == "20" and out[9] == "16" and out[10] == "1"
+
+
+def test_plambda_magic_stats(rng):
+    """Magic statistic suffixes (plambda.c eval_magicvar:1276-1330); the
+    C binary cannot evaluate these at all when built with OpenMP, so the
+    oracle is the documented formula."""
+    from bwd_nlkalman_tpu.utils.plambda import plambda
+
+    x = rng.uniform(0, 255, (12, 14, 1)).astype(np.float32)
+    got = plambda("x x%v -", x)
+    np.testing.assert_allclose(got, x - x.mean(), rtol=1e-5)
+    got = plambda("x%s", x)
+    np.testing.assert_allclose(got[0, 0, 0], x.sum(), rtol=1e-5)
+    got = plambda("x%r", x)
+    np.testing.assert_allclose(got[0, 0, 0], x.std(), rtol=1e-4)
+    flat = np.sort(x.ravel())
+    qpos = int(np.clip(round(25 * flat.size / 100.0), 0, flat.size - 1))
+    got = plambda("x%q25", x)
+    np.testing.assert_allclose(got[0, 0, 0], flat[qpos], rtol=1e-5)
+
+
 def test_cli_size_validation(tmp_path):
     """nlkalman-flt hard-fails on geometry mismatches like the C binary
     (src/main-flt.c:233-261)."""
