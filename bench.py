@@ -157,11 +157,14 @@ def main():
             out = reco(tuple(smo)) if levels > 1 else smo[0]
             return out
 
-        sync(ms_pipeline(noisy[:2]))
-        t0 = time.perf_counter()
-        sync(ms_pipeline(noisy))
-        ms_fps = frames / (time.perf_counter() - t0)
-        ms_txt = f"; msnlkalman {levels}-level: {ms_fps:.2f} fps"
+        try:
+            sync(ms_pipeline(noisy[:2]))
+            t0 = time.perf_counter()
+            sync(ms_pipeline(noisy))
+            ms_fps = frames / (time.perf_counter() - t0)
+            ms_txt = f"; msnlkalman {levels}-level: {ms_fps:.2f} fps"
+        except Exception as e:  # never sink the headline metric
+            ms_txt = f"; msnlkalman: failed ({type(e).__name__})"
 
     print(json.dumps({
         "metric": (

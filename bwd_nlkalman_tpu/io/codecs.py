@@ -291,6 +291,9 @@ def _lzw_decode(data: bytes) -> bytes:
         while nbits >= width:
             code = (acc >> (nbits - width)) & ((1 << width) - 1)
             nbits -= width
+            # trim consumed bits — an unbounded accumulator turns every
+            # shift into bignum arithmetic (O(n^2) overall)
+            acc &= (1 << nbits) - 1
             if code == CLEAR:
                 dict_ = {}
                 next_code = 258
