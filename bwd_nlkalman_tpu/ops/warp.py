@@ -58,6 +58,62 @@ def _coord_grids(h, w, flow):
     return xx + flow[..., 0], yy + flow[..., 1]
 
 
+def _flow_rough(u, v) -> jnp.ndarray:
+    """Scalar bool: is this displacement field too rough for the
+    shift-select warp?  Its cost scales with the local integer-offset
+    ranges, so a garbage flow (e.g. TV-L1 on unmatchable content) can
+    cost seconds; smooth flow of ANY magnitude stays cheap (ranges are
+    of the OFFSET, not the motion).  Beyond the threshold the hybrid
+    dispatch takes the gather path instead."""
+    ui = jnp.floor(u)
+    vi = jnp.floor(v)
+    ry = jnp.max(vi) - jnp.min(vi)
+    rx = jnp.max(ui) - jnp.min(ui)
+    return (ry + 8.0) * (rx + 8.0) > 4096.0
+
+
+def _hybrid_warp(im3, cx, cy, u, v, pad_mode):
+    """lax.cond between the Pallas shift-select warp and the gather warp
+    (identical results — exactness verified on-chip); picks by flow
+    roughness at runtime."""
+    import jax
+
+    from .warp_pallas import bicubic_warp_pallas
+
+    def pallas_branch(args):
+        im3, cx, cy = args
+        return bicubic_warp_pallas(im3, cx, cy, pad_mode=pad_mode)
+
+    def gather_branch(args):
+        im3, cx, cy = args
+        return _gather_warp_coords(im3, cx, cy, pad_mode)
+
+    return jax.lax.cond(
+        _flow_rough(u, v), gather_branch, pallas_branch, (im3, cx, cy)
+    )
+
+
+def _gather_warp_coords(im3, cx, cy, pad_mode):
+    """Gather-path bicubic at absolute coords; same base/tap semantics
+    as bicubic_warp_pallas.  Returns (out, valid)."""
+    h, w = im3.shape[:2]
+    bx = jnp.floor(cx).astype(jnp.int32) - 1
+    by = jnp.floor(cy).astype(jnp.int32) - 1
+    fx = (cx - jnp.floor(cx))[..., None]
+    fy = (cy - jnp.floor(cy))[..., None]
+    valid = (bx >= 0) & (bx + 3 <= w - 1) & (by >= 0) & (by + 3 <= h - 1)
+    taps = _gather_taps16(
+        im3, by, bx, pad_mode="edge" if pad_mode == "edge" else "constant"
+    )
+    cols = [
+        _cubic(taps[..., 0, i, :], taps[..., 1, i, :], taps[..., 2, i, :],
+               taps[..., 3, i, :], fy)
+        for i in range(4)
+    ]
+    out = _cubic(cols[0], cols[1], cols[2], cols[3], fx)
+    return out, valid
+
+
 def _cubic(v0, v1, v2, v3, x):
     """Catmull-Rom cubic (reference cubic_interpolation, src/nlkalman.c:36)."""
     return v1 + 0.5 * x * (
@@ -140,13 +196,13 @@ def warp_bicubic_nan(
     """
     h, w = im.shape[0], im.shape[1]
     if _use_pallas_warp(h, w, im.shape[2] if im.ndim == 3 else 1):
-        from .warp_pallas import bicubic_warp_pallas
-
         # kernel convention: base = floor(c)-1 == floor(c-1) = the
         # reference's floor-based footprint with its -1 shift pre-applied
         cx, cy = _coord_grids(h, w, flow)
         im3 = im if im.ndim == 3 else im[..., None]
-        out, valid = bicubic_warp_pallas(im3, cx, cy, pad_mode="zero")
+        out, valid = _hybrid_warp(
+            im3, cx, cy, flow[..., 0], flow[..., 1], "zero"
+        )
         if occl is not None:
             valid = valid & (occl == 0)
         out = jnp.where(valid[..., None], out, 0.0)
@@ -199,15 +255,11 @@ def bicubic_sample(
     the same four sample points and the same interpolating cubic as the
     floor-based footprint used here.
     """
+    # NB deliberately NOT routed through the shift-select Pallas warp:
+    # resampling grids (zoom) have linearly varying integer offsets whose
+    # range ~ the image width — the worst case for shift-select — while
+    # the gather path is fast on regular grids.
     h, w = im.shape[:2]
-    if im.ndim == 2 and _use_pallas_warp(h, w, 1):
-        from .warp_pallas import bicubic_warp_pallas
-
-        out, valid = bicubic_warp_pallas(
-            im[..., None], uu, vv, pad_mode="edge"
-        )
-        res = out[..., 0]
-        return jnp.where(valid, res, 0.0) if border_out else res
     x0 = jnp.floor(uu)
     y0 = jnp.floor(vv)
     fx = uu - x0
@@ -275,15 +327,11 @@ def warp_bicubic_zero_multi(ims: jnp.ndarray, u: jnp.ndarray, v: jnp.ndarray,
     repeated warps of the same image."""
     h, w = ims.shape[:2]
     if _use_pallas_warp(h, w, ims.shape[2]):
-        from .warp_pallas import bicubic_warp_pallas
-
         yy, xx = jnp.meshgrid(
             jnp.arange(h, dtype=u.dtype), jnp.arange(w, dtype=u.dtype),
             indexing="ij",
         )
-        out, valid = bicubic_warp_pallas(
-            ims, xx + u, yy + v, pad_mode="edge"
-        )
+        out, valid = _hybrid_warp(ims, xx + u, yy + v, u, v, "edge")
         return jnp.where(valid[..., None], out, 0.0)
     yy, xx = jnp.meshgrid(
         jnp.arange(h, dtype=u.dtype), jnp.arange(w, dtype=u.dtype), indexing="ij"
