@@ -10,3 +10,8 @@ from .search import (  # noqa: F401
     gradient_descent,
     grid_search_2d,
 )
+from .view_results import (  # noqa: F401
+    load_table,
+    best_rows,
+    ascii_landscape,
+)

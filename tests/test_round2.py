@@ -132,6 +132,28 @@ def test_plambda_magic_stats(rng):
     np.testing.assert_allclose(got[0, 0, 0], flat[qpos], rtol=1e-5)
 
 
+def test_view_results_on_reference_table():
+    """view_results analogue recovers the reference table's historical
+    bests (scripts/dev-scripts/table-df; PSNRs documented in SURVEY §6)."""
+    import os
+
+    from bwd_nlkalman_tpu.train.view_results import (
+        load_table, best_rows, ascii_landscape,
+    )
+
+    src = "/root/reference/scripts/dev-scripts/table-df"
+    if not os.path.exists(src):
+        pytest.skip("reference table not mounted")
+    t = load_table(src)
+    assert t.shape[0] > 10000
+    bests = {sig: psnr for sig, _, psnr in best_rows(t, "s1_mse")}
+    assert bests[10.0] == pytest.approx(35.97, abs=0.01)
+    assert bests[20.0] == pytest.approx(32.50, abs=0.01)
+    assert bests[40.0] == pytest.approx(29.11, abs=0.01)
+    art = ascii_landscape(t, "f1_nx", "f1_bx", "f1_mse", sigma=20.0, bins=8)
+    assert "f1_mse" in art and len(art.splitlines()) >= 9
+
+
 def test_cli_size_validation(tmp_path):
     """nlkalman-flt hard-fails on geometry mismatches like the C binary
     (src/main-flt.c:233-261)."""
