@@ -175,34 +175,6 @@ def dct_image_all_patches(img: jnp.ndarray, psz: int) -> jnp.ndarray:
     return jnp.stack(outs, axis=-1)                         # (hh, ww, c*psz*psz)
 
 
-@functools.lru_cache(maxsize=None)
-def _dct_conv_filters_np(psz: int) -> np.ndarray:
-    """(psz*psz out-features, 1, psz, psz) conv filters: F[k*psz+l] = d_k d_l^T."""
-    d = _ortho_basis_np(psz).astype(np.float32)
-    f = np.einsum("ki,lj->klij", d, d).reshape(psz * psz, 1, psz, psz)
-    return f
-
-
-def dct_image_all_patches_mxu(img: jnp.ndarray, psz: int) -> jnp.ndarray:
-    """MXU formulation of :func:`dct_image_all_patches` via one conv.
-
-    NB measured SLOWER than the shifted-FMA build at 1080p on v5e (a
-    1-input-channel conv wastes the systolic array); kept for reference.
-    Prefer :func:`dct_image_all_patches_matmul`.
-    """
-    h, w, c = img.shape
-    filt = jnp.asarray(_dct_conv_filters_np(psz))            # (K, 1, p, p)
-    x = img.transpose(2, 0, 1)[:, None]                      # (C, 1, H, W)
-    out = jax.lax.conv_general_dilated(
-        x, filt, window_strides=(1, 1), padding="VALID",
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        preferred_element_type=jnp.float32,
-    )                                                        # (C, K, hh, ww)
-    return out.transpose(2, 3, 0, 1).reshape(
-        h - psz + 1, w - psz + 1, c * psz * psz
-    )
-
-
 def dct_image_all_patches_matmul(img: jnp.ndarray, psz: int,
                                  freq_major: bool = False) -> jnp.ndarray:
     """The reference's MATPROD intent literally: DCT of all overlapping
