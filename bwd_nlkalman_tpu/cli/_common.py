@@ -29,11 +29,15 @@ def add_prms_group(ap: argparse.ArgumentParser, prefix: str, title: str):
 
 
 def check_size(name: str, arr, ref, ref_name: str = "input",
-               channels: int | None = None) -> None:
+               channels: int | str | None = None) -> None:
     """Hard-fail on frame size/channel mismatches like the reference
     binaries (src/main-flt.c:233-261, src/main-smo.c:120-165): print the
     offending geometry to stderr and exit(1) instead of letting a shape
-    error (or silent broadcast) escape from the kernels."""
+    error (or silent broadcast) escape from the kernels.
+
+    channels: None = must match ref's channel count, an int = must be
+    exactly that, "any" = H/W check only (occlusion masks: any channel
+    count is accepted, plane 0 is used, like iio-read masks)."""
     import sys
 
     if arr.shape[0] != ref.shape[0] or arr.shape[1] != ref.shape[1]:
@@ -43,6 +47,8 @@ def check_size(name: str, arr, ref, ref_name: str = "input",
             file=sys.stderr,
         )
         raise SystemExit(1)
+    if channels == "any":
+        return
     want_ch = ref.shape[2] if channels is None else channels
     got_ch = arr.shape[2] if arr.ndim == 3 else 1
     if got_ch != want_ch:

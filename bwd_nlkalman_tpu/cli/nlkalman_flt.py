@@ -54,8 +54,8 @@ def main(argv=None):
     if args.bocc:
         bocc_np = read_image(args.bocc)
         check_size("occlusion mask", bocc_np, nisy_np, "noisy frame",
-                   channels=bocc_np.shape[2] if bocc_np.ndim == 3 else 1)
-        bocc = jnp.asarray(bocc_np[..., 0])
+                   channels="any")
+        bocc = jnp.asarray(bocc_np[..., 0] if bocc_np.ndim == 3 else bocc_np)
     n_opp = rgb2opp(nisy)
 
     def load_warp(path):

@@ -44,8 +44,8 @@ def main(argv=None):
         if args.focc:
             focc_np = read_image(args.focc)
             check_size("occlusion mask", focc_np, flt1_np, "filtered frame",
-                       channels=focc_np.shape[2] if focc_np.ndim == 3 else 1)
-            focc = jnp.asarray(focc_np[..., 0])
+                       channels="any")
+            focc = jnp.asarray(focc_np[..., 0] if focc_np.ndim == 3 else focc_np)
         else:
             focc = None
         smo0, valid = warp_bicubic_nan(smo0, fflo, focc)

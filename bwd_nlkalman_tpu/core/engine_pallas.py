@@ -515,8 +515,10 @@ def _fused_pass_kernel(
 def pallas_pass_supported(
     h: int, w: int, ch: int, prms: NLKParams, mode: str,
     budget_bytes: int = 100 * 1024 * 1024,
+    window_dtype: str = "float32",
 ) -> bool:
     """True when the fused kernel's VMEM plan fits the budget."""
+    band_elem = 2 if window_dtype == "bfloat16" else 4
     psz = prms.patch_sz
     if psz % 2 or psz < 2:
         return False
@@ -534,7 +536,7 @@ def pallas_pass_supported(
     bh = 2 * rad + step
     n_off = (2 * rad + 1) ** 2
     n_acc = 3 if mode == "smooth" else 2
-    bands = bh * step * (2 * f + 1) * c4p * 2          # bf16 x and d bands
+    bands = bh * step * (2 * f + 1) * c4p * band_elem  # x and d bands
     bits = 2 * n_off * c4p * 4
     agg = (2 * rad + step) * step * (n_acc * f + 1) * c4p * 4
     outs = 2 * step * step * (n_acc * f + 1) * c4p * 4 * 2  # double-buffered

@@ -395,7 +395,8 @@ def _pick_engine(engine: str, h: int, w: int, ch: int,
     if backend == "tpu":
         from .engine_pallas import pallas_pass_supported
 
-        if pallas_pass_supported(h, w, ch, prms, mode):
+        wdt = os.environ.get("BNLK_WINDOW_DTYPE", "float32")
+        if pallas_pass_supported(h, w, ch, prms, mode, window_dtype=wdt):
             return "pallas"
     return "v2"
 

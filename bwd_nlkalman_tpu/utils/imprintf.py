@@ -15,7 +15,7 @@ import re
 
 import numpy as np
 
-_DIRECTIVE = re.compile(r"%(q\[(\d+)\]|[vNiamdersky Ywhc])")
+_DIRECTIVE = re.compile(r"%(q\[(\d+)\]|[vNiamderskyYwhc])")
 
 
 def imprintf(fmt: str, img) -> str:

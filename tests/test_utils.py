@@ -35,6 +35,8 @@ def test_imprintf(rng):
     assert imprintf("%N", a) == "12"
     assert imprintf("%v", a) == "5.5"
     assert imprintf("min=%i max=%a", a) == "min=0 max=11"
+    # literal "% " (percent-space) is not a directive and passes through
+    assert imprintf("50% off %v", a) == "50% off 5.5"
 
 
 def test_stage_timer():
