@@ -11,7 +11,10 @@ import sys
 
 import numpy as np
 
-from ._common import add_prms_group, check_size, prms_from_args, setup_jax
+from ._common import (
+    add_prms_group, check_size, print_verbose_params, prms_from_args,
+    setup_jax,
+)
 from ..io import read_image, write_image
 from ..params import FilterMode, default_params
 
@@ -42,6 +45,28 @@ def main(argv=None):
     apply_f2 = args.f2_p != 0
     p1 = default_params(args.sigma, FilterMode.FLT1, prms_from_args(args, "f1"))
     p2 = default_params(args.sigma, FilterMode.FLT2, prms_from_args(args, "f2"))
+
+    if args.verbose:
+        io_in = {
+            "noise": f"{args.sigma:05.2f}",
+            "noisy frames": args.nisy,
+            "bwd flows": args.bflo,
+            "bwd occlus.": args.bocc,
+            "prev filt 1": args.flt10,
+            "prev filt 2": args.flt20,
+        }
+        if not apply_f1:
+            io_in["filtering 1"] = args.flt11
+        io_out = {}
+        if apply_f1:
+            io_out["filtering 1"] = args.flt11
+        io_out["filtering 2"] = args.flt21
+        groups = {}
+        if apply_f1:
+            groups["first filtering parameters"] = p1
+        if apply_f2:
+            groups["second filtering parameters"] = p2
+        print_verbose_params(io_in, io_out, groups)
 
     nisy_np = read_image(args.nisy)
     nisy = jnp.asarray(nisy_np)

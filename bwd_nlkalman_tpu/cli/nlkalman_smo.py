@@ -7,7 +7,10 @@ import sys
 
 import numpy as np
 
-from ._common import add_prms_group, check_size, prms_from_args, setup_jax
+from ._common import (
+    add_prms_group, check_size, print_verbose_params, prms_from_args,
+    setup_jax,
+)
 from ..io import read_image, write_image
 from ..params import FilterMode, default_params
 
@@ -32,6 +35,18 @@ def main(argv=None):
     from ..ops.warp import warp_bicubic_nan
 
     ps = default_params(args.sigma, FilterMode.SMO1, prms_from_args(args, "s1"))
+    if args.verbose:
+        print_verbose_params(
+            {
+                "noise": f"{args.sigma:05.2f}",
+                "filtered t": args.flt1,
+                "smoothed t+1": args.smo0,
+                "fwd flows": args.fflo,
+                "fwd occlus.": args.focc,
+            },
+            {"smoothed t": args.smo1},
+            {"smoothing parameters": ps},
+        )
     flt1_np = read_image(args.flt1)
     smo0_np = read_image(args.smo0)
     check_size("smoothed frame t+1", smo0_np, flt1_np, "filtered frame")

@@ -251,24 +251,54 @@ def dense_pass_v2(
             cand = cand & jnp.where(prev_p[None], in_rad_t[:, None, None], True) \
                 if mode == "filter" else cand
             prevc = wv & cand & prev_p[None]
+            if prms.dista_lambda != 1.0:
+                # LAMBDA_DISTANCE variant (src/nlkalman.c:647-684): when
+                # both the center's and the candidate's previous patches
+                # are valid, blend the current-frame distance with the
+                # previous-frame (warped denoised) distance
+                lam = prms.dista_lambda
+                dd0 = (wd - wd[(rad * n_off1) + rad][None]).astype(cur.dtype)
+                dist_d = jnp.sum(dd0 * dd0, axis=-1) * (1.0 / f)
+                dist = jnp.where(
+                    wv & prev_p[None], lam * dist + (1.0 - lam) * dist_d,
+                    dist,
+                )
         else:
             wd = None
             prev_p = jnp.zeros((rb, nx), bool)
             prevc = jnp.zeros(cand.shape, bool)
 
+        if prms.dista_th > 0.0:
+            # non-K threshold selection (src/nlkalman.h:32, nlkalman.c:528,
+            # 633,712-717): noise-corrected clamped distance, every patch
+            # within dista_th^2 is selected (no group-size caps)
+            dista_sigma2 = 0.0 if has_basic else 2.0 * sigma2
+            dist = jnp.maximum(dist - dista_sigma2, 0.0)
+
         bits = jnp.where(cand, jax.lax.bitcast_convert_type(dist, jnp.int32), inf_b)
         bits2 = bits.reshape(n_off, rb * nx)
         pbits2 = jnp.where(prevc, bits, inf_b).reshape(n_off, rb * nx)
 
-        k1 = jnp.where(prev_p, np_t, np_x).reshape(-1).astype(jnp.int32)
-        th1 = _kth_smallest_bits(bits2, k1).reshape(rb, nx)
-        thp = _kth_smallest_bits(
-            pbits2, jnp.full((rb * nx,), nagg, jnp.int32)
-        ).reshape(rb, nx)
-        tha = _kth_smallest_bits(
-            bits2, jnp.full((rb * nx,), nagg, jnp.int32)
-        ).reshape(rb, nx)
+        if prms.dista_th > 0.0:
+            th_c = jnp.asarray(
+                np.float32(prms.dista_th * prms.dista_th).view(np.int32),
+                jnp.int32,
+            )
+            th1 = jnp.full((rb, nx), th_c, jnp.int32)
+            thp = th1
+            tha = th1
+        else:
+            k1 = jnp.where(prev_p, np_t, np_x).reshape(-1).astype(jnp.int32)
+            th1 = _kth_smallest_bits(bits2, k1).reshape(rb, nx)
+            thp = _kth_smallest_bits(
+                pbits2, jnp.full((rb * nx,), nagg, jnp.int32)
+            ).reshape(rb, nx)
+            tha = _kth_smallest_bits(
+                bits2, jnp.full((rb * nx,), nagg, jnp.int32)
+            ).reshape(rb, nx)
 
+        # threshold mode has no group-size caps (non-K build)
+        nagg_f = float(nagg) if prms.dista_th <= 0.0 else float(n_off)
         bmat = bits2.reshape(n_off, rb, nx)
         sel1 = cand & (bmat <= th1[None])
         m0sel = prevc & (bmat <= thp[None])
@@ -297,7 +327,7 @@ def dense_pass_v2(
             dxw = wd - wx
             v01 = jnp.einsum("ors,orsf->rsf", spf, dxw * dxw) / np0s[..., None]
             m0f = m0sel.astype(cur.dtype)
-            m0n = jnp.minimum(np0s, float(nagg))
+            m0n = jnp.minimum(np0s, nagg_f)
             m0 = jnp.einsum("ors,orsf->rsf", m0f, wd) / m0n[..., None]
         else:
             v0 = v01 = m0 = jnp.zeros_like(v1)
@@ -315,7 +345,7 @@ def dense_pass_v2(
             a = jnp.where(temporal, a_t, a_x)
             m_ref = jnp.where(temporal, m0, m1_mean)
             mem = jnp.where(temporal[None, ..., 0], m0sel, memsp)  # (O, rb, nx)
-            nagg_eff = jnp.minimum(jnp.where(np0 > 0, np0, np1), float(nagg))
+            nagg_eff = jnp.minimum(jnp.where(np0 > 0, np0, np1), nagg_f)
             vp = jnp.where(temporal[..., 0], vp_t, vp_x) * nagg_eff
             wgt = 1.0 / jnp.maximum(vp, 1e-6)
             # filtered dct at member q: a (.) Nd[q] + (1-a) (.) m_ref
@@ -327,7 +357,7 @@ def dense_pass_v2(
             vp = jnp.sum(
                 (1.0 - a * a) * v1 + a * a * jnp.maximum(v0 - b * v01, 0.0),
                 axis=-1,
-            ) * jnp.minimum(np0, float(nagg))
+            ) * jnp.minimum(np0, nagg_f)
             wgt = 1.0 / jnp.maximum(vp, 1e-6)
             mem = m0sel
             # filtered dct: (1-a) (.) Nd[q] + a (.) Dd[q]

@@ -12,13 +12,23 @@ views of a DCT-image band held in VMEM.
 
 Layout (v5e-tuned; VMEM ~128 MB):
 
-- the DCT image of all overlapping patches (hh, ww, F) is phase-split by
-  column (col = step*j + p) and stored HBM-side as (rows, step, F, C4)
-  with sites along lanes; site s lives at lane j = s + pad_l/step.
-- grid = one step per site ROW (stride step).  Each step DMAs the
-  (2*rad+step)-row band it needs; a candidate at offset (oy, ox) is
-  band[oy+rad, (ox+pad_l)%step] lane-rolled by (ox+pad_l)//step - base:
-  a single VPU rotate, no gather, no unaligned slice.
+- HBM holds only RAW pixel planes, phase-split by column (col = step*j
+  + p) as (rows, step, 8, C4) with sites along lanes; site s lives at
+  lane j = s + pad_l/step.  The patch DCT runs IN-KERNEL: each grid
+  step DMAs `step + psz - 1` fresh raw rows (a few hundred KB instead
+  of a multi-MB DCT band) and one MXU matmul per new band row turns
+  nshift lane-rolled raw copies into all `step` phases' DCT
+  coefficients at once (_inkernel_dct_basis_np — the reference's
+  MATPROD intent, src/nlkalman.c:135,190-191); d-band patch validity
+  falls out of the same matmul as the patch-footprint mean of the 0/1
+  pixel-validity plane.
+- the DCT bands are CIRCULAR VMEM buffers: patch row q lives at slot
+  (q + rad) % bh_c; rows are written once and read for bh_c/step grid
+  steps — no re-DMA, no band shifting.
+- grid = one step per site ROW (stride step).  A candidate at offset
+  (oy, ox) is band[slot(oy), (ox+pad_l)%step] lane-rolled by
+  (ox+pad_l)//step - base: a single VPU rotate, no gather, no
+  unaligned slice.
 - selection = exact bisection on the int32 bits of the distances
   (engine.py:_kth_smallest_bits), three thresholds per site.
 - statistics/update accumulate in f32 scratch; per-offset loops skip
@@ -48,18 +58,47 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..ops.dct import (
-    dct_image_all_patches, dct_image_all_patches_matmul, _ortho_basis_kron_np,
-)
+from ..ops.dct import _ortho_basis_kron_np
 from ..ops.windows import _window_1d
 from ..params import NLKParams
-from .nlkalman import patch_validity
 
 _INF_BITS = int(np.float32(np.inf).view(np.int32))
 
 
 def _cdiv(a, b):
     return -(-a // b)
+
+
+def _nshift(psz: int) -> int:
+    step = psz // 2
+    return (step + psz - 2) // step + 1
+
+
+@functools.lru_cache(maxsize=None)
+def _inkernel_dct_basis_np(psz: int, blk: int) -> np.ndarray:
+    """Basis for the in-kernel patch DCT (the reference's MATPROD intent,
+    src/nlkalman.c:135,190-191, realized as ONE MXU matmul per band row).
+
+    Shape (step*blk, psz*nshift*step).  The matmul input is the "rolled
+    element" matrix E[dy*nshift*step + m, lane] = raw[q+dy, (m%step),
+    lane + m//step] (built by ``nshift`` lane-rolls of the raw band); for
+    the phase-pp patch at site lane j, element (dy, dx) sits at column
+    m = pp + dx.  Output rows per phase block: [0, psz^2) = orthonormal
+    2-D DCT coefficients, row psz^2 = patch-footprint MEAN of the channel
+    (== validity fraction when fed the 0/1 validity plane), rest zero.
+    """
+    step = psz // 2
+    ncol = psz * _nshift(psz) * step
+    b2 = _ortho_basis_kron_np(psz)              # (psz^2, psz^2) [k, dy*psz+dx]
+    out = np.zeros((step * blk, ncol), np.float64)
+    inv = 1.0 / (psz * psz)
+    for pp in range(step):
+        for dy in range(psz):
+            for dx in range(psz):
+                mcol = dy * (_nshift(psz) * step) + pp + dx
+                out[pp * blk : pp * blk + psz * psz, mcol] += b2[:, dy * psz + dx]
+                out[pp * blk + psz * psz, mcol] += inv
+    return out.astype(np.float32)
 
 
 def _roll(x, sh, interpret):
@@ -105,16 +144,26 @@ def _fused_pass_kernel(
     psz = 2 * step
     psz2 = psz * psz
 
+    bh_c, nrr, blk = cfg["bh_c"], cfg["nrr"], cfg["blk"]
+    sr_lo, sr_hi = cfg["sr_lo"], cfg["sr_hi"]
+    nsh = _nshift(psz)
+
     i = 0
-    x_hbm = refs[i]; i += 1
-    d_hbm = refs[i] if has_prev else None; i += 1 if has_prev else 0
-    n_hbm = refs[i] if has_basic else None; i += 1 if has_basic else 0
+    qyb_ref = refs[i]; i += 1            # SMEM (2,): global patch-row bounds
+    xraw_hbm = refs[i]; i += 1
+    draw_hbm = refs[i] if has_prev else None; i += 1 if has_prev else 0
+    nraw_hbm = refs[i] if has_basic else None; i += 1 if has_basic else 0
+    dctb_ref = refs[i]; i += 1            # (step*blk, tap) in-kernel DCT basis
     bk_ref = refs[i]; i += 1              # (psz2, psz2) idct basis, dx-major
     win_ref = refs[i]; i += 1             # (psz, 128): col 0 = 1-D window
     opix_ref = refs[i]; i += 1
     band_x = refs[i]; i += 1
     band_d = refs[i] if has_prev else None; i += 1 if has_prev else 0
     band_n = refs[i] if has_basic else None; i += 1 if has_basic else 0
+    raw_x = refs[i]; i += 1
+    raw_d = refs[i] if has_prev else None; i += 1 if has_prev else 0
+    raw_n = refs[i] if has_basic else None; i += 1 if has_basic else 0
+    el_scr = refs[i]; i += 1
     bits_s = refs[i]; i += 1
     pbits_s = refs[i] if has_prev else None; i += 1 if has_prev else 0
     acc_m1c = refs[i]; i += 1
@@ -156,34 +205,117 @@ def _fused_pass_kernel(
             agg_gd[:] = jnp.zeros_like(agg_gd)
         pix_acc[:] = jnp.zeros_like(pix_acc)
 
-    # ---- band DMA (rows [step*sr - rad, +bh) of the patch grid); runs
-    # on every step: flush steps still finalize real patch rows, whose
-    # nd/dd values live in band rows [0, step) ----
-    cpx = pltpu.make_async_copy(
-        x_hbm.at[pl.ds(step * sr, bh)], band_x, sem.at[0]
-    )
-    cpx.start()
-    if has_prev:
-        cpd = pltpu.make_async_copy(
-            d_hbm.at[pl.ds(step * sr, bh)], band_d, sem.at[1]
-        )
-        cpd.start()
-    if has_basic:
-        cpn = pltpu.make_async_copy(
-            n_hbm.at[pl.ds(step * sr, step)], band_n, sem.at[2]
-        )
-        cpn.start()
-    if has_prev:
-        cpd.wait()
-    if has_basic:
-        cpn.wait()
-    cpx.wait()
+    # ---- circular band fill: raw pixel rows are DMAd in (a few hundred
+    # KB/step instead of the multi-MB DCT band) and the patch DCT runs
+    # IN-KERNEL as one MXU matmul per band row (the reference's MATPROD
+    # intent, src/nlkalman.c:135,190-191).  Band row of patch row q lives
+    # at circular slot (q + rad) % bh_c. ----
+    def bslot(oyi):
+        """Band slot of the row at relative offset oyi (patch row
+        step*sr + oyi - rad)."""
+        return jnp.mod(step * sr + oyi, bh_c)
 
-    @pl.when(sr < n_rows)
-    def _compute():
-        xp = band_x[rad, 0].astype(f32)                      # (F, C4p) center
+    def fill_bands(q0):
+        """DCT patch rows [q0, q0+step) of every input into the bands."""
+        cps = [
+            pltpu.make_async_copy(
+                xraw_hbm.at[pl.ds(q0 + rad, nrr)], raw_x, sem.at[0]
+            )
+        ]
         if has_prev:
-            prev_p = band_d[rad, 0, f : f + 1, :].astype(f32) > 0.5
+            cps.append(pltpu.make_async_copy(
+                draw_hbm.at[pl.ds(q0 + rad, nrr)], raw_d, sem.at[1]
+            ))
+        if has_basic:
+            cps.append(pltpu.make_async_copy(
+                nraw_hbm.at[pl.ds(q0 + rad, nrr)], raw_n, sem.at[2]
+            ))
+        for cp in cps:
+            cp.start()
+        for cp in cps:
+            cp.wait()
+
+        def dct_rows(raw_ref, band_ref, nch, with_valid):
+            # lane-rolled raw copies: element (dy, m) of patch row q0+i
+            # = rolled[m//step][i+dy, m%step, c]
+            rolled = [
+                _roll(raw_ref[:], -s, interpret) for s in range(nsh)
+            ]
+            for i2 in range(step):
+                slot = jnp.mod(q0 + i2 + rad, bh_c)
+                ncv = nch + (1 if with_valid else 0)
+                for c in range(ncv):
+                    for dy in range(psz):
+                        for s in range(nsh):
+                            el_scr[c, dy * nsh * step + s * step :
+                                   dy * nsh * step + (s + 1) * step] = (
+                                rolled[s][i2 + dy, :, c, :]
+                            )
+                # f32 bands need the multi-pass MXU f32 matmul — the
+                # default Mosaic lowering is single-pass bf16 (measured
+                # ~1e-2 rel band error on-chip); bf16 bands are rounded
+                # anyway so the fast path is fine for them
+                prec = (
+                    jax.lax.Precision.HIGHEST
+                    if band_ref.dtype == jnp.float32 else None
+                )
+                for c in range(nch):
+                    res = jax.lax.dot_general(
+                        dctb_ref[:], el_scr[c],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                        precision=prec,
+                    )                                  # (step*blk, C4p)
+                    for p in range(step):
+                        band_ref[slot, p, c * psz2 : (c + 1) * psz2] = (
+                            res[p * blk : p * blk + psz2]
+                            .astype(band_ref.dtype)
+                        )
+                if with_valid:
+                    resv = jax.lax.dot_general(
+                        dctb_ref[:], el_scr[nch],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=f32,
+                    )
+                    fdp = band_ref.shape[2]
+                    for p in range(step):
+                        # patch valid <=> every pixel valid <=> mean == 1
+                        vrow = resv[p * blk + psz2 : p * blk + blk]
+                        nv = fdp - nch * psz2
+                        band_ref[slot, p, nch * psz2 :] = jnp.where(
+                            vrow[:nv] > 0.998, 1.0, 0.0
+                        ).astype(band_ref.dtype)
+
+        dct_rows(raw_x, band_x, ch, False)
+        if has_prev:
+            dct_rows(raw_d, band_d, ch, True)
+        if has_basic:
+            dct_rows(raw_n, band_n, ch, False)
+
+    @pl.when(sr == 0)
+    def _prologue_fill():
+        def g_body(g, carry):
+            fill_bands(g * step - rad)
+            return carry
+        jax.lax.fori_loop(0, bh_c // step, g_body, 0)
+
+    @pl.when(sr > 0)
+    def _front_fill():
+        fill_bands(step * (sr - 1 + bh_c // step) - rad)
+
+    # site gate: own row range AND the center patch row within the global
+    # bounds (v2's site_ok — a shard's halo can hold real LOCAL patch rows
+    # whose global coordinate is out of range; without this gate such
+    # phantom sites aggregate into their in-range candidates)
+    qy_lo = qyb_ref[0]
+    qy_hi = qyb_ref[1]
+
+    @pl.when((sr >= sr_lo) & (sr < min(sr_hi, n_rows))
+             & (step * sr >= qy_lo) & (step * sr < qy_hi))
+    def _compute():
+        xp = band_x[bslot(rad), 0].astype(f32)               # (F, C4p) center
+        if has_prev:
+            prev_p = band_d[bslot(rad), 0, f : f + 1, :].astype(f32) > 0.5
             if mode == "filter":
                 all_temp = jnp.all(prev_p | jnp.logical_not(site_m))
             else:
@@ -230,12 +362,12 @@ def _fused_pass_kernel(
 
         def phase_a(oyi, carry):
             qy = step * sr + (oyi - rad)
-            row_ok = (qy >= 0) & (qy < hh)
+            row_ok = (qy >= qy_lo) & (qy < qy_hi)
             for oxi in range(n_off1):
                 @pl.when(run_pred(oyi, oxi, row_ok))
                 def _(oyi=oyi, oxi=oxi):
                     p, delta = off_geom(oyi, oxi)
-                    a = _roll(band_x[oyi, p], -delta, interpret).astype(f32)
+                    a = _roll(band_x[bslot(oyi), p], -delta, interpret).astype(f32)
                     d = a - xp
                     dist = jnp.sum(d * d, axis=0, keepdims=True) * inv_f
                     cand = off_candidates(oyi, oxi, ir_scalar(oyi, oxi))
@@ -247,7 +379,8 @@ def _fused_pass_kernel(
                     bits_s[pl.ds(o, 1)] = b
                     if has_prev:
                         wv = _roll(
-                            band_d[oyi, p, f : f + 1, :], -delta, interpret
+                            band_d[bslot(oyi), p, f : f + 1, :], -delta,
+                            interpret
                         ).astype(f32) > 0.5
                         prevc = cand & wv & prev_p
                         pbits_s[pl.ds(o, 1)] = jnp.where(prevc, b, inf_b)
@@ -310,7 +443,7 @@ def _fused_pass_kernel(
 
         def phase_c(oyi, carry):
             qy = step * sr + (oyi - rad)
-            row_ok = (qy >= 0) & (qy < hh)
+            row_ok = (qy >= qy_lo) & (qy < qy_hi)
             for oxi in range(n_off1):
                 @pl.when(run_pred(oyi, oxi, row_ok))
                 def _(oyi=oyi, oxi=oxi):
@@ -320,13 +453,13 @@ def _fused_pass_kernel(
                     cand = off_candidates(oyi, oxi, ir_scalar(oyi, oxi))
                     sel1 = cand & (b <= th1)
                     s1f = sel1.astype(f32)
-                    a = _roll(band_x[oyi, p], -delta, interpret).astype(f32)
+                    a = _roll(band_x[bslot(oyi), p], -delta, interpret).astype(f32)
                     wc = a - xp
                     acc_m1c[:] += s1f * wc
                     acc_e2[:] += s1f * (wc * wc)
                     nrows_s[0:1] += s1f
                     if has_prev:
-                        dall = _roll(band_d[oyi, p], -delta, interpret).astype(f32)
+                        dall = _roll(band_d[bslot(oyi), p], -delta, interpret).astype(f32)
                         wv = dall[f : f + 1, :] > 0.5
                         dq = dall[:f]
                         spc = sel1 & wv & prev_p
@@ -409,7 +542,7 @@ def _fused_pass_kernel(
         # ---- phase E: aggregate member weights into the plane buffer ----
         def phase_e(oyi, carry):
             qy = step * sr + (oyi - rad)
-            row_ok = (qy >= 0) & (qy < hh)
+            row_ok = (qy >= qy_lo) & (qy < qy_hi)
             slot = jnp.mod(step * sr + oyi, ah)
             for oxi in range(n_off1):
                 @pl.when(run_pred(oyi, oxi, row_ok))
@@ -421,7 +554,8 @@ def _fused_pass_kernel(
                     sel1 = cand & (b <= th1)
                     if has_prev:
                         wv = _roll(
-                            band_d[oyi, p, f : f + 1, :], -delta, interpret
+                            band_d[bslot(oyi), p, f : f + 1, :], -delta,
+                            interpret
                         ).astype(f32) > 0.5
                         prevc = sel1 & wv & prev_p
                         m0sel = prevc & (b <= thp)
@@ -477,10 +611,10 @@ def _fused_pass_kernel(
         for p in range(step):
             gain = agg_g[slot_i, p]                           # (F, C4p)
             bw = agg_bw[slot_i, p]                            # (fw_pad, C4p)
-            ndr = (band_n if has_basic else band_x)[i2, p].astype(f32)
+            ndr = (band_n if has_basic else band_x)[bslot(i2), p].astype(f32)
             fd = gain * ndr + bw[:f]
             if smooth and has_prev:
-                fd = fd + agg_gd[slot_i, p] * band_d[i2, p, :f, :].astype(f32)
+                fd = fd + agg_gd[slot_i, p] * band_d[bslot(i2), p, :f, :].astype(f32)
             wrow = bw[f : f + 1]                              # (1, C4p)
             pix_ch = [
                 jnp.dot(bk_t, fd[c * psz2 : (c + 1) * psz2],
@@ -522,33 +656,43 @@ def pallas_pass_supported(
     psz = prms.patch_sz
     if psz % 2 or psz < 2:
         return False
+    if prms.dista_lambda != 1.0 or prms.dista_th > 0.0:
+        return False          # LAMBDA_DISTANCE / dista_th live in v2 only
     step = psz // 2
     f = ch * psz * psz
     rad = max(prms.search_sz_x, prms.search_sz_t) if mode == "filter" \
         else prms.search_sz_t
     if rad < 1 or w - psz + 1 < 1 or h - psz + 1 < 1:
         return False
+    if ch + 1 > 8:
+        return False          # raw bands carry pixel channels + validity
     ww = w - psz + 1
     ns = (ww - 1) // step + 1
     pad_l = _cdiv(rad, step) * step
-    c4 = _cdiv(pad_l + step * (ns - 1) + rad + 1, step)
-    c4p = _cdiv(c4, 128) * 128
+    c4 = _cdiv(pad_l + max(step * (ns - 1) + rad + psz, w), step)
+    c4p = max(_cdiv(c4, 128) * 128, 128)
     bh = 2 * rad + step
+    bh_c = _cdiv(bh, step) * step
     n_off = (2 * rad + 1) ** 2
     n_acc = 3 if mode == "smooth" else 2
-    bands = bh * step * (2 * f + 1) * c4p * band_elem  # x and d bands
+    sub_t = 16 if window_dtype == "bfloat16" else 8
+    fd_pad = _cdiv(f + 1, sub_t) * sub_t
+    # worst case: x + d + n DCT bands, all circular (bh_c rows)
+    bands = bh_c * step * (2 * f + fd_pad) * c4p * band_elem
+    nrr = step + psz - 1
+    raw = 3 * nrr * step * 8 * c4p * 4 + 8 * (psz * _nshift(psz) * step) * c4p * 4
     bits = 2 * n_off * c4p * 4
     agg = (2 * rad + step) * step * (n_acc * f + 1) * c4p * 4
     outs = 2 * step * step * (n_acc * f + 1) * c4p * 4 * 2  # double-buffered
     accs = 8 * f * c4p * 4
-    return bands + bits + agg + outs + accs < budget_bytes
+    return bands + raw + bits + agg + outs + accs < budget_bytes
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
         "sigma", "prms", "mode", "has_prev", "has_basic", "return_accum",
-        "window_dtype", "interpret", "stage",
+        "window_dtype", "interpret", "stage", "site_rows",
     ),
 )
 def dense_pass_pallas(
@@ -565,8 +709,15 @@ def dense_pass_pallas(
     window_dtype: str = "float32",
     interpret: bool = False,
     stage: str = "all",   # "prep" | "kernel" | "all" — profiling cut points
+    site_rows: tuple | None = None,   # static (start, stop) local site rows
+    qy_bounds: jnp.ndarray | None = None,  # (2,) valid local patch-row range
 ):
     """Drop-in equivalent of engine.dense_pass_v2 built on the fused kernel."""
+    if prms.dista_lambda != 1.0 or prms.dista_th > 0.0:
+        raise ValueError(
+            "dista_lambda != 1 / dista_th > 0 are v2-engine variants "
+            "(LAMBDA_DISTANCE / non-K threshold selection); use engine='v2'"
+        )
     h, w, ch = cur.shape
     psz = prms.patch_sz
     step = psz // 2
@@ -584,16 +735,19 @@ def dense_pass_pallas(
     n_rows = (hh - 1) // step + 1
     pad_l = _cdiv(rad, step) * step
     j_base = pad_l // step
-    # lanes must cover both the candidate span and the folded pixel span
-    c4 = _cdiv(pad_l + max(step * (ns - 1) + rad + 1, w), step)
+    # lanes must cover the candidate span (incl. the psz raw columns each
+    # candidate patch reads), the folded pixel span, and the image
+    c4 = _cdiv(pad_l + max(step * (ns - 1) + rad + psz, w), step)
     c4p = max(_cdiv(c4, 128) * 128, 128)
     bh = 2 * rad + step
+    bh_c = _cdiv(bh, step) * step             # circular band rows
     ah = 2 * rad + step
     ph = 4 * step   # rolling pixel rows (live span is step + psz - 1 < 3*step)
     # run until every PIXEL row (0 .. h-1) has been retired
     n_steps = _cdiv(h + rad - step, step) + 1
     n_steps = max(n_steps, n_rows)
-    r_pad = step * (n_steps - 1) + bh
+    nrr = step + psz - 1                      # raw rows per band fill
+    r_raw = step * (n_steps - 1) + bh_c + psz - 1
 
     wdt = jnp.bfloat16 if window_dtype == "bfloat16" else jnp.float32
     # channel (sublane) dims must be tile multiples — a 65-channel bf16
@@ -601,52 +755,44 @@ def dense_pass_pallas(
     sub_t = 16 if wdt == jnp.bfloat16 else 8
     fd_pad = _cdiv(f + 1, sub_t) * sub_t      # d band: F + validity
     fw_pad = _cdiv(f + 1, 8) * 8              # f32 bias+weight field
+    psz2 = psz * psz
+    blk = psz2 + max(fd_pad - f, 8)           # basis rows per phase block
 
-    # ---- dense patch transforms (XLA).  bf16 band path: MATPROD matmul
-    # on the MXU (bf16-rounded inputs are subsumed by the band cast);
-    # exact-f32 path: shifted-FMA build.  NB the conv formulation was
-    # measured SLOWER (a 1-input-channel conv wastes the MXU) ----
-    dct_fn = (
-        dct_image_all_patches_matmul if wdt == jnp.bfloat16
-        else dct_image_all_patches
+    # ---- raw phase-split pixel bands (the patch DCT itself runs
+    # IN-KERNEL as MXU matmuls — the reference's MATPROD intent,
+    # src/nlkalman.c:135,190-191 — so only ~KB of raw rows stream per
+    # grid step instead of the multi-MB DCT-image band) ----
+    chp = 8
+
+    def prep_raw(img, valid=None):
+        planes = [img]
+        if valid is not None:
+            planes.append(valid.astype(img.dtype)[..., None])
+        a = planes[0] if len(planes) == 1 else jnp.concatenate(planes, -1)
+        cc = a.shape[-1]
+        a = jnp.pad(
+            a,
+            [(rad, r_raw - rad - h), (pad_l, step * c4p - pad_l - w),
+             (0, chp - cc)],
+        )
+        a = a.reshape(r_raw, c4p, step, chp).transpose(0, 2, 3, 1)
+        return a.astype(jnp.float32)
+
+    qyb = (
+        jnp.asarray([0, hh], jnp.int32) if qy_bounds is None
+        else qy_bounds.astype(jnp.int32)
     )
     x_img = basic if has_basic else cur
-    xd = dct_fn(x_img, psz)
-    nd = dct_fn(cur, psz) if has_basic else xd
+    ins = [qyb, prep_raw(x_img)]
     if has_prev:
-        dd = dct_fn(prev, psz)
-        pval = patch_validity(prev_valid, psz)
-    else:
-        dd = None
-        pval = None
-
-    def prep(arr):
-        fc = arr.shape[-1]
-        a = jnp.pad(
-            arr,
-            [(rad, r_pad - rad - hh), (pad_l, step * c4p - pad_l - ww),
-             (0, 0)],
-        )
-        a = a.reshape(r_pad, c4p, step, fc).transpose(0, 2, 3, 1)
-        return a.astype(wdt)
-
-    x_hbm = prep(xd)
-    ins = [x_hbm]
-    if has_prev:
-        pad_ch = jnp.zeros(dd.shape[:2] + (fd_pad - f - 1,), dd.dtype)
-        d_hbm = prep(
-            jnp.concatenate(
-                [dd, pval.astype(dd.dtype)[..., None], pad_ch], axis=-1
-            )
-        )
-        ins.append(d_hbm)
+        ins.append(prep_raw(prev, prev_valid))
     if has_basic:
-        ins.append(prep(nd))
+        ins.append(prep_raw(cur))
 
     if stage == "prep":
-        return tuple(ins)
+        return tuple(ins[1:])
 
-    psz2 = psz * psz
+    ins.append(jnp.asarray(_inkernel_dct_basis_np(psz, blk)))
     # inverse-DCT basis with pixel rows permuted dx-major (row dx*psz+dy)
     bk_t = _ortho_basis_kron_np(psz).T
     perm = np.arange(psz2).reshape(psz, psz).T.reshape(-1)  # dy*psz+dx -> dx-major
@@ -669,11 +815,15 @@ def dense_pass_pallas(
     ]
 
     n_off = n_off1 * n_off1
-    scratch = [pltpu.VMEM((bh, step, f, c4p), wdt)]
+    tap = psz * _nshift(psz) * step
+    scratch = [pltpu.VMEM((bh_c, step, f, c4p), wdt)]
     if has_prev:
-        scratch.append(pltpu.VMEM((bh, step, fd_pad, c4p), wdt))
+        scratch.append(pltpu.VMEM((bh_c, step, fd_pad, c4p), wdt))
     if has_basic:
-        scratch.append(pltpu.VMEM((step, step, f, c4p), wdt))
+        scratch.append(pltpu.VMEM((bh_c, step, f, c4p), wdt))
+    n_raw = 1 + int(has_prev) + int(has_basic)
+    scratch += [pltpu.VMEM((nrr, step, chp, c4p), jnp.float32)] * n_raw
+    scratch.append(pltpu.VMEM((chp, tap, c4p), jnp.float32))  # DCT elements
     scratch.append(pltpu.VMEM((n_off, c4p), jnp.int32))
     if has_prev:
         scratch.append(pltpu.VMEM((n_off, c4p), jnp.int32))
@@ -695,9 +845,17 @@ def dense_pass_pallas(
         sigma2=sigma * sigma, beta_x=prms.beta_x, beta_t=prms.beta_t,
         sub=0.0 if has_basic else sigma * sigma, interpret=interpret,
         fw_pad=fw_pad, ch=ch, ph=ph, ch_pad=ch_pad,
+        bh_c=bh_c, nrr=nrr, blk=blk,
+        sr_lo=0 if site_rows is None else site_rows[0],
+        sr_hi=n_rows if site_rows is None else min(site_rows[1], n_rows),
     )
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY)] * (len(ins) - 2)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+    in_specs += [pl.BlockSpec(memory_space=pltpu.ANY)] * (len(ins) - 4)
+    in_specs.append(
+        pl.BlockSpec((step * blk, tap), lambda s: (0, 0),
+                     memory_space=pltpu.VMEM)
+    )
     in_specs.append(
         pl.BlockSpec((psz2, psz2), lambda s: (0, 0), memory_space=pltpu.VMEM)
     )

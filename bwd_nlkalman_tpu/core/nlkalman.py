@@ -40,6 +40,13 @@ tests/test_golden.py):
   index; C qsort's order on ties is implementation-defined.
 - numerics: variances via a two-pass estimate centered on the target patch
   instead of sequential Welford; bitwise differences only.
+- patch-distance noise correction: the shipped K_SIMILAR_PATCHES build
+  sets dista_sigma2 = 0 (src/nlkalman.c:629-630) so our raw-distance
+  ranking matches it exactly.  The NON-K build subtracts 2*sigma^2 per
+  pixel (b1 absent) and clamps at 0 (:633,702), which collapses all
+  near patches into a tie at 0 resolved by qsort order; we reproduce
+  that correction only in the dista_th threshold mode (params.dista_th,
+  engine.py), where the clamp has no tie-breaking role.
 
 Everything is static-shaped: per-site group membership is expressed as
 masks over a fixed k_max slots, variable search radii as masks over the

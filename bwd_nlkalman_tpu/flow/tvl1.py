@@ -221,13 +221,21 @@ def tvl1_flow(
     use_pallas = _use_pallas_backend(backend)
     if use_pallas:
         from .tvl1_pallas import tvl1_single_scale_pallas
+        from .tvl1_fused import tvl1_single_scale_fused, fused_level_supported
 
     cw, ch_ = sizes[ns - 1]
     u = jnp.zeros((ch_, cw, 2), jnp.float32)
     for s in range(ns - 1, -1, -1):
         if s >= fs:
             a, b = pyr[s]
-            if use_pallas:
+            if use_pallas and fused_level_supported(*a.shape):
+                # whole-level fused kernel (warp + all iterations in one
+                # launch) — the per-launch overhead dominates every level
+                u = tvl1_single_scale_fused(
+                    a, b, u, tau=tau, lambda_=lambda_, theta=theta,
+                    nwarps=nwarps, epsilon=epsilon,
+                )
+            elif use_pallas:
                 u = tvl1_single_scale_pallas(
                     a, b, u, tau=tau, lambda_=lambda_, theta=theta,
                     nwarps=nwarps, epsilon=epsilon,

@@ -1,0 +1,365 @@
+"""Whole-level fused TV-L1 solver: ONE Pallas kernel per pyramid level.
+
+Round-2 profiling showed the per-level cost of the TV-L1 solve is
+dominated by fixed per-launch/per-op overheads, not compute: a 9x15
+coarse level took ~10 ms (dozens of kernel launches: 5 warp stages x
+several iteration blocks x consts-building XLA glue), and at the finest
+fscale=1 level (540x960) the warp + consts glue alone was ~9 ms of the
+44 ms level.  This module fuses the ENTIRE single-scale solve of
+Dual_TVL1_optic_flow (lib/tvl1flow/tvl1flow_lib.c:93-275) — all nwarps
+warp stages, each with its in-kernel bicubic warp, threshold step,
+divergence/gradient updates and the reference's convergence test — into
+one Pallas kernel with the whole level state resident in VMEM:
+
+- the warp is the gather-free shift-select bicubic (ops/warp_pallas.py
+  design) run in 8-row blocks inside the kernel: per-block dynamic
+  roll ranges mean the select cost scales with the LOCAL flow range;
+- the primal-dual iterations are full-plane VPU passes (no tiles, no
+  halo recompute, no HBM traffic at all during the solve);
+- the stopping rule (mean squared update < epsilon^2, capped at
+  MAX_ITERATIONS; tvl1flow_lib.c:165,24) is evaluated every
+  ``k_check`` iterations by an in-kernel lax.while_loop.
+
+Dispatch: used for levels whose VMEM plan fits (~<=540x960 f32);
+larger levels fall back to the tiled iteration-block kernel
+(tvl1_pallas.py), and non-TPU backends to the XLA path (tvl1.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+GRAD_IS_ZERO = 1e-10  # tvl1flow_lib.c:26
+_G = 4                # warp pad width (ops/warp_pallas.py)
+
+
+def _cubic(v0, v1, v2, v3, x):
+    return v1 + 0.5 * x * (
+        v2 - v0 + x * (2.0 * v0 - 5.0 * v1 + 4.0 * v2 - v3
+                       + x * (3.0 * (v1 - v2) + v3 - v0))
+    )
+
+
+def _sroll(x, sh, interpret):
+    """Lane roll left by a static amount."""
+    if sh == 0:
+        return x
+    if interpret:
+        return jnp.roll(x, -sh, axis=-1)
+    return pltpu.roll(x, (-sh) % x.shape[-1], axis=len(x.shape) - 1)
+
+
+def _droll(x, sh, interpret):
+    """Lane roll left by a traced non-negative amount."""
+    if interpret:
+        return jnp.roll(x, -sh, axis=-1)
+    return pltpu.roll(x, (-sh) % x.shape[-1], axis=len(x.shape) - 1)
+
+
+def _level_kernel(
+    i0_ref, i1p_ref, u_ref, uout_ref,
+    u1s, u2s, ps, cs, hwin,
+    *, h, w, hp, ln, nwarps, tau, lambda_, theta, epsilon,
+    k_check, max_iters, interpret,
+):
+    f32 = jnp.float32
+    i32 = jnp.int32
+    l_t = lambda_ * theta
+    taut = tau / theta
+
+    u1s[:] = u_ref[0]
+    u2s[:] = u_ref[1]
+    ps[:] = jnp.zeros((4, hp, ln), f32)
+
+    gy = jax.lax.broadcasted_iota(i32, (hp, ln), 0)
+    gx = jax.lax.broadcasted_iota(i32, (hp, ln), 1)
+    first_row = gy == 0
+    last_row = gy == h - 1
+    first_col = gx == 0
+    last_col = gx == w - 1
+    inframe = (gy < h) & (gx < w)
+
+    def shift_down(x):
+        return pltpu.roll(x, 1, 0) if not interpret else jnp.roll(x, 1, 0)
+
+    def shift_up(x):
+        return (pltpu.roll(x, hp - 1, 0) if not interpret
+                else jnp.roll(x, -1, 0))
+
+    def shift_right(x):
+        return pltpu.roll(x, 1, 1) if not interpret else jnp.roll(x, 1, 1)
+
+    def shift_left(x):
+        return (pltpu.roll(x, ln - 1, 1) if not interpret
+                else jnp.roll(x, -1, 1))
+
+    # ---------------- in-kernel shift-select bicubic warp ----------------
+    def do_warp():
+        """Warp (i1, i1x, i1y) along the current (u1s, u2s) into cs as
+        {i1wx, i1wy, grad, rho_c} (tvl1flow_lib.c:145-160)."""
+        nblk = hp // 8
+
+        def blk_body(b, carry):
+            r0 = b * 8
+            u1b = u1s[pl.ds(r0, 8), :]
+            u2b = u2s[pl.ds(r0, 8), :]
+            lane = jax.lax.broadcasted_iota(i32, (8, ln), 1)
+            rowi = jax.lax.broadcasted_iota(i32, (8, ln), 0) + r0
+            inb32 = jnp.where((rowi < h) & (lane < w), 1.0, 0.0)
+            lane_f = lane.astype(f32)
+            row_f = rowi.astype(f32)
+            # pad pixels take IDENTITY coords so they never widen the
+            # data-dependent select ranges
+            cx = lane_f + inb32 * u1b
+            cy = row_f + inb32 * u2b
+            fx = cx - jnp.floor(cx)
+            fy = cy - jnp.floor(cy)
+            bx = jnp.floor(cx).astype(i32) - 1
+            by = jnp.floor(cy).astype(i32) - 1
+            valid = ((bx >= 0) & (bx + 3 <= w - 1)
+                     & (by >= 0) & (by + 3 <= h - 1))
+            bxp = jnp.clip(bx + _G, 0, ln - 4)
+            dxo = bxp - lane
+            byp = jnp.clip(by, -_G, h) + _G
+            lo_d = jnp.min(dxo)
+            hi_d = jnp.max(dxo)
+            lo_b = jnp.min(byp)
+            hi_b = jnp.max(byp)
+
+            outs = []
+            for c in range(3):
+                def build_h(bb, slot):
+                    row2 = i1p_ref[c, pl.ds(bb, 1), :]      # (1, LN)
+
+                    def dbody(d, accs):
+                        m = jnp.where(dxo == d, 1.0, 0.0)
+                        r0d = _droll(row2, d, interpret)
+                        return tuple(
+                            accs[l] + m * _sroll(r0d, l, interpret)
+                            for l in range(4)
+                        )
+
+                    accs = tuple(jnp.zeros((8, ln), f32) for _ in range(4))
+                    accs = jax.lax.fori_loop(lo_d, hi_d + 1, dbody, accs)
+                    for l in range(4):
+                        hwin[l, slot] = accs[l]
+
+                for j in range(3):
+                    build_h(lo_b + j, jnp.mod(lo_b + j, 4))
+
+                def vbody(bb, val16):
+                    build_h(bb + 3, jnp.mod(bb + 3, 4))
+                    m = jnp.where(byp == bb, 1.0, 0.0)
+                    out = []
+                    for k in range(4):
+                        slot = jnp.mod(bb + k, 4)
+                        for l in range(4):
+                            out.append(val16[k * 4 + l] + m * hwin[l, slot])
+                    return tuple(out)
+
+                val16 = tuple(jnp.zeros((8, ln), f32) for _ in range(16))
+                val16 = jax.lax.fori_loop(lo_b, hi_b + 1, vbody, val16)
+                cols = [
+                    _cubic(val16[0 + l], val16[4 + l], val16[8 + l],
+                           val16[12 + l], fy)
+                    for l in range(4)
+                ]
+                res = _cubic(cols[0], cols[1], cols[2], cols[3], fx)
+                # border_out=true: zero wherever the footprint left the
+                # frame (bicubic_interpolation.c:242-264)
+                outs.append(jnp.where(valid, res, 0.0))
+
+            i1w, i1wx, i1wy = outs
+            i0b = i0_ref[pl.ds(r0, 8), :]
+            cs[0, pl.ds(r0, 8)] = i1wx
+            cs[1, pl.ds(r0, 8)] = i1wy
+            cs[2, pl.ds(r0, 8)] = i1wx * i1wx + i1wy * i1wy
+            cs[3, pl.ds(r0, 8)] = i1w - i1wx * u1b - i1wy * u2b - i0b
+            return carry
+
+        jax.lax.fori_loop(0, nblk, blk_body, 0)
+
+    # ---------------- primal-dual iteration ----------------
+    def one_iter(u1, u2, p11, p12, p21, p22, i1wx, i1wy, grad, rho_c):
+        rho = rho_c + i1wx * u1 + i1wy * u2
+        fi = jnp.where(
+            grad < GRAD_IS_ZERO, 0.0, -rho / jnp.maximum(grad, GRAD_IS_ZERO)
+        )
+        lo_m = rho < -l_t * grad
+        hi_m = rho > l_t * grad
+        d1 = jnp.where(lo_m, l_t * i1wx,
+                       jnp.where(hi_m, -l_t * i1wx, fi * i1wx))
+        d2 = jnp.where(lo_m, l_t * i1wy,
+                       jnp.where(hi_m, -l_t * i1wy, fi * i1wy))
+        v1 = u1 + d1
+        v2 = u2 + d2
+
+        def div(pa, pb):
+            ax = jnp.where(
+                first_col, pa,
+                jnp.where(last_col, -shift_right(pa), pa - shift_right(pa)),
+            )
+            by_ = jnp.where(
+                first_row, pb,
+                jnp.where(last_row, -shift_down(pb), pb - shift_down(pb)),
+            )
+            return ax + by_
+
+        u1n = v1 + theta * div(p11, p12)
+        u2n = v2 + theta * div(p21, p22)
+
+        def fgrad(u):
+            ux = jnp.where(last_col, 0.0, shift_left(u) - u)
+            uy = jnp.where(last_row, 0.0, shift_up(u) - u)
+            return ux, uy
+
+        u1x, u1y = fgrad(u1n)
+        u2x, u2y = fgrad(u2n)
+        g1 = jnp.sqrt(u1x * u1x + u1y * u1y)
+        g2 = jnp.sqrt(u2x * u2x + u2y * u2y)
+        ng1 = 1.0 + taut * g1
+        ng2 = 1.0 + taut * g2
+        return (
+            u1n, u2n,
+            (p11 + taut * u1x) / ng1,
+            (p12 + taut * u1y) / ng1,
+            (p21 + taut * u2x) / ng2,
+            (p22 + taut * u2y) / ng2,
+        )
+
+    # warp stages and iterations as DEVICE loops (fori/while), not Python
+    # unrolls — the unrolled kernel's Mosaic compile took minutes per
+    # level shape; the rolled form compiles ~an order of magnitude faster
+    # at negligible runtime cost (the loop bodies are full-plane passes)
+    def warp_stage(_w, carry):
+        do_warp()
+        i1wx, i1wy = cs[0], cs[1]
+        grad, rho_c = cs[2], cs[3]
+
+        def cond(c):
+            err, n = c
+            return (err > epsilon * epsilon) & (n < max_iters)
+
+        def body(c):
+            _, n = c
+            u1 = u1s[:]
+            u2 = u2s[:]
+            p11, p12, p21, p22 = ps[0], ps[1], ps[2], ps[3]
+
+            def iter_body(_j, st):
+                return one_iter(*st, i1wx, i1wy, grad, rho_c)
+
+            u1, u2, p11, p12, p21, p22 = jax.lax.fori_loop(
+                0, k_check - 1, iter_body, (u1, u2, p11, p12, p21, p22)
+            )
+            u1p, u2p = u1, u2
+            u1, u2, p11, p12, p21, p22 = one_iter(
+                u1, u2, p11, p12, p21, p22, i1wx, i1wy, grad, rho_c
+            )
+            du1 = jnp.where(inframe, u1 - u1p, 0.0)
+            du2 = jnp.where(inframe, u2 - u2p, 0.0)
+            err = (jnp.sum(du1 * du1) + jnp.sum(du2 * du2)) / (h * w)
+            u1s[:] = u1
+            u2s[:] = u2
+            ps[0] = p11
+            ps[1] = p12
+            ps[2] = p21
+            ps[3] = p22
+            return err, n + k_check
+
+        jax.lax.while_loop(
+            cond, body, (jnp.asarray(jnp.inf, f32), jnp.asarray(0, i32))
+        )
+        return carry
+
+    jax.lax.fori_loop(0, nwarps, warp_stage, 0)
+
+    uout_ref[0] = u1s[:]
+    uout_ref[1] = u2s[:]
+
+
+def _plan(h: int, w: int) -> tuple[int, int, int]:
+    hp = max(-(-h // 8) * 8, 8)
+    ln = max(-(-(w + 2 * _G + 3) // 128) * 128, 128)
+    # planes: u1,u2,p(4),consts(4) scratch + in/out (i0 + 3*i1p + u 2 + uout 2)
+    vmem = (10 + 1 + 2 + 2) * hp * ln * 4 + 3 * (hp + 11) * ln * 4
+    return hp, ln, vmem
+
+
+def fused_level_supported(h: int, w: int,
+                          budget: int = 90 * 1024 * 1024) -> bool:
+    return _plan(h, w)[2] < budget
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tau", "lambda_", "theta", "nwarps", "epsilon",
+                     "k_check", "max_iters", "interpret"),
+)
+def tvl1_single_scale_fused(
+    i0: jnp.ndarray,
+    i1: jnp.ndarray,
+    u_init: jnp.ndarray,
+    tau: float = 0.25,
+    lambda_: float = 0.15,
+    theta: float = 0.3,
+    nwarps: int = 5,
+    epsilon: float = 0.01,
+    k_check: int = 8,
+    max_iters: int = 300,
+    interpret: bool = False,
+):
+    """Drop-in single-scale TV-L1 solve, whole level in one kernel.
+
+    i0, i1: (H, W) float32; u_init: (H, W, 2).  Returns (H, W, 2).
+    """
+    from ..ops.grad import centered_gradient
+
+    h, w = i0.shape
+    hp, ln, _ = _plan(h, w)
+
+    i1x, i1y = centered_gradient(i1)
+    i1s = jnp.stack([i1, i1x, i1y], axis=0)            # (3, H, W)
+    i1p = jnp.pad(
+        i1s, ((0, 0), (_G, hp + 11 - h - _G), (_G, ln - w - _G)),
+        mode="edge",
+    )
+    i0p = jnp.pad(i0, ((0, hp - h), (0, ln - w)))
+    u0 = jnp.pad(
+        u_init.transpose(2, 0, 1), ((0, 0), (0, hp - h), (0, ln - w))
+    ).astype(jnp.float32)
+
+    kern = functools.partial(
+        _level_kernel, h=h, w=w, hp=hp, ln=ln, nwarps=nwarps,
+        tau=tau, lambda_=lambda_, theta=theta, epsilon=epsilon,
+        k_check=k_check, max_iters=max_iters, interpret=interpret,
+    )
+    uout = pl.pallas_call(
+        kern,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((2, hp, ln), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((hp, ln), jnp.float32),
+            pltpu.VMEM((hp, ln), jnp.float32),
+            pltpu.VMEM((4, hp, ln), jnp.float32),
+            pltpu.VMEM((4, hp, ln), jnp.float32),
+            pltpu.VMEM((4, 4, 8, ln), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(i0p, i1p, u0)
+
+    return uout[:, :h, :w].transpose(1, 2, 0)

@@ -50,6 +50,13 @@ def read_image(path: str) -> np.ndarray:
         return read_png(path)
     if ext in (".tif", ".tiff"):
         return read_tiff(path)
+    if ext in (".jpg", ".jpeg"):
+        # JPEG decode lives in the native layer only (libjpeg, like iio's
+        # I_CAN_HAS_LIBJPEG path, lib/iio/iio.c:30); no pure-python decoder
+        raise ValueError(
+            f"{path}: JPEG requires the native io library "
+            "(make -C bwd_nlkalman_tpu/native)"
+        )
     raise ValueError(f"unsupported image format: {path}")
 
 
@@ -69,6 +76,8 @@ def write_image(path: str, img: np.ndarray) -> None:
                 return nat.write_png(path, img3.astype(np.float32), depth)
             if ext in (".tif", ".tiff"):
                 return nat.write_tiff(path, img3)
+            if ext in (".jpg", ".jpeg"):
+                return nat.write_jpeg(path, img3)
         except Exception:
             pass
     if ext == ".flo":
@@ -79,6 +88,11 @@ def write_image(path: str, img: np.ndarray) -> None:
         return write_png(path, img)
     if ext in (".tif", ".tiff"):
         return write_tiff(path, img)
+    if ext in (".jpg", ".jpeg"):
+        raise ValueError(
+            f"{path}: JPEG requires the native io library "
+            "(make -C bwd_nlkalman_tpu/native)"
+        )
     raise ValueError(f"unsupported image format: {path}")
 
 

@@ -48,6 +48,10 @@ def _load():
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
         ctypes.c_int, ctypes.c_int,
     ]
+    lib.bnlk_write_jpeg.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+    ]
     lib.bnlk_free.argtypes = [ctypes.c_void_p]
     lib.bnlk_loader_create.restype = ctypes.c_void_p
     lib.bnlk_loader_create.argtypes = [
@@ -127,6 +131,15 @@ def write_pfm(path: str, img: np.ndarray) -> None:
     img, p = _as_cfloat(img)
     if lib.bnlk_write_pfm(path.encode(), p, img.shape[1], img.shape[0], img.shape[2]):
         raise IOError(f"native pfm write failed: {path}")
+
+
+def write_jpeg(path: str, img: np.ndarray, quality: int = 95) -> None:
+    lib = _load()
+    img = np.atleast_3d(np.asarray(img, np.float32))
+    img, p = _as_cfloat(img)
+    if lib.bnlk_write_jpeg(path.encode(), p, img.shape[1], img.shape[0],
+                           img.shape[2], quality):
+        raise IOError(f"native jpeg write failed: {path}")
 
 
 def write_flo(path: str, flow: np.ndarray) -> None:

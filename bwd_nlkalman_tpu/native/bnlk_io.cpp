@@ -24,6 +24,8 @@
 
 #include <png.h>
 #include <tiffio.h>
+#include <csetjmp>
+#include <jpeglib.h>
 
 static struct TiffQuiet {
   TiffQuiet() { TIFFSetWarningHandler(nullptr); }
@@ -250,6 +252,94 @@ int bnlk_write_flo(const char *path, const float *data, int w, int h) {
 }
 
 // ---------------------------------------------------------------------------
+// JPEG (iio reads JPEG via I_CAN_HAS_LIBJPEG, lib/iio/iio.c:30,1399-1450)
+// ---------------------------------------------------------------------------
+
+struct JpegErr {
+  jpeg_error_mgr mgr;
+  jmp_buf jb;
+};
+
+static void jpeg_err_exit(j_common_ptr cinfo) {
+  longjmp(reinterpret_cast<JpegErr *>(cinfo->err)->jb, 1);
+}
+
+static float *read_jpeg_f32(const char *path, int *w, int *h, int *c) {
+  FILE *f = fopen(path, "rb");
+  if (!f) return nullptr;
+  jpeg_decompress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  float *out = nullptr;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_decompress(&cinfo);
+    fclose(f);
+    free(out);
+    return nullptr;
+  }
+  jpeg_create_decompress(&cinfo);
+  jpeg_stdio_src(&cinfo, f);
+  jpeg_read_header(&cinfo, TRUE);
+  jpeg_start_decompress(&cinfo);
+  *w = (int)cinfo.output_width;
+  *h = (int)cinfo.output_height;
+  *c = (int)cinfo.output_components;
+  out = (float *)malloc((size_t)*w * *h * *c * sizeof(float));
+  std::vector<JSAMPLE> row((size_t)*w * *c);
+  JSAMPROW rp = row.data();
+  while (cinfo.output_scanline < cinfo.output_height) {
+    int y = (int)cinfo.output_scanline;
+    jpeg_read_scanlines(&cinfo, &rp, 1);
+    float *dst = out + (size_t)y * *w * *c;
+    for (size_t i = 0; i < (size_t)*w * *c; i++) dst[i] = (float)row[i];
+  }
+  jpeg_finish_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  fclose(f);
+  return out;
+}
+
+int bnlk_write_jpeg(const char *path, const float *data, int w, int h, int c,
+                    int quality) {
+  if (c != 1 && c != 3) return -1;
+  FILE *f = fopen(path, "wb");
+  if (!f) return -1;
+  jpeg_compress_struct cinfo;
+  JpegErr jerr;
+  cinfo.err = jpeg_std_error(&jerr.mgr);
+  jerr.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(jerr.jb)) {
+    jpeg_destroy_compress(&cinfo);
+    fclose(f);
+    return -1;
+  }
+  jpeg_create_compress(&cinfo);
+  jpeg_stdio_dest(&cinfo, f);
+  cinfo.image_width = w;
+  cinfo.image_height = h;
+  cinfo.input_components = c;
+  cinfo.in_color_space = c == 1 ? JCS_GRAYSCALE : JCS_RGB;
+  jpeg_set_defaults(&cinfo);
+  jpeg_set_quality(&cinfo, quality > 0 ? quality : 95, TRUE);
+  jpeg_start_compress(&cinfo, TRUE);
+  std::vector<JSAMPLE> row((size_t)w * c);
+  JSAMPROW rp = row.data();
+  while (cinfo.next_scanline < cinfo.image_height) {
+    const float *src = data + (size_t)cinfo.next_scanline * w * c;
+    for (size_t i = 0; i < (size_t)w * c; i++) {
+      float v = src[i];
+      row[i] = (JSAMPLE)(v < 0 ? 0 : v > 255 ? 255 : (int)(v + 0.5f));
+    }
+    jpeg_write_scanlines(&cinfo, &rp, 1);
+  }
+  jpeg_finish_compress(&cinfo);
+  jpeg_destroy_compress(&cinfo);
+  fclose(f);
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // dispatch
 // ---------------------------------------------------------------------------
 
@@ -259,6 +349,8 @@ float *bnlk_read_image(const char *path, int *w, int *h, int *c) {
     return read_tiff_f32(path, w, h, c);
   if (has_suffix(path, ".pfm")) return read_pfm_f32(path, w, h, c);
   if (has_suffix(path, ".flo")) return read_flo_f32(path, w, h, c);
+  if (has_suffix(path, ".jpg") || has_suffix(path, ".jpeg"))
+    return read_jpeg_f32(path, w, h, c);
   return nullptr;
 }
 

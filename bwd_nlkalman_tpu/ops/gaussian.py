@@ -30,27 +30,47 @@ def _kernel_np(sigma: float) -> np.ndarray:
     return np.concatenate([b[:0:-1], b]).astype(np.float32)
 
 
-def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
-    """In-place-equivalent separable blur of a (H, W) image."""
+@functools.lru_cache(maxsize=None)
+def blur_matrix_np(n: int, sigma: float) -> np.ndarray:
+    """The 1-D blur as an (n, n) matrix: out = B @ in.
+
+    Same taps and the same asymmetric reflecting boundary as the stencil
+    formulation (mask.c:268-270), folded into a dense matrix so the 2-D
+    blur becomes two MXU matmuls (out = By @ img @ Bx^T) — the
+    stencil version is ~30 shifted adds with HBM round trips per axis.
+    """
     size = int(5 * sigma) + 1
-    kern = jnp.asarray(_kernel_np(float(sigma)), dtype=img.dtype)
-
-    def _pad_axis1(x):
-        w = x.shape[1]
-        left = x[:, size:0:-1]            # I[size] ... I[1]   (no edge)
-        right = x[:, w - 1 : w - size - 1 : -1]  # I[w-1] ... I[w-size] (edge kept)
-        return jnp.concatenate([left, x, right], axis=1)
-
-    def _conv_axis1(x):
-        xp = _pad_axis1(x)
-        w = x.shape[1]
-        # pad is `size` wide but the kernel half-width is size-1 => offset 1
-        acc = jnp.zeros_like(x)
+    kern = _kernel_np(sigma).astype(np.float64)
+    b = np.zeros((n, n), np.float64)
+    for i in range(n):
         for j in range(2 * size - 1):
-            acc = acc + kern[j] * xp[:, j + 1 : j + 1 + w]
-        return acc
+            m = j + 1 + i          # index into the padded row
+            if m < size:
+                k = size - m       # left mirror, no edge repeat
+            elif m < size + n:
+                k = m - size
+            else:
+                k = n - 1 - (m - size - n)  # right mirror, edge repeated
+            b[i, np.clip(k, 0, n - 1)] += kern[j]
+    return b.astype(np.float32)
 
+
+def gaussian_blur(img: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """In-place-equivalent separable blur of a (H, W) image.
+
+    MXU formulation: By @ img @ Bx^T with the boundary conventions baked
+    into the matrices; weight-identical to the reference stencil (the
+    summation order differs within one output sample).
+    """
+    h, w = img.shape
+    by = jnp.asarray(blur_matrix_np(h, float(sigma)), img.dtype)
+    bx = jnp.asarray(blur_matrix_np(w, float(sigma)), img.dtype)
     # rows then columns, like the reference
-    img = _conv_axis1(img)
-    img = _conv_axis1(img.T).T
-    return img
+    out = jnp.einsum(
+        "ij,kj->ik", img, bx, precision="highest",
+        preferred_element_type=jnp.float32,
+    )
+    return jnp.einsum(
+        "ij,jk->ik", by, out, precision="highest",
+        preferred_element_type=jnp.float32,
+    ).astype(img.dtype)

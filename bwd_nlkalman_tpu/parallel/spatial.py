@@ -89,7 +89,24 @@ def _sharded_pass_body(
     qy_hi = hh_g + halo - g0          # one past last valid local patch row
     qy_bounds = jnp.stack([qy_lo, qy_hi]).astype(jnp.int32)
 
-    if engine == "v2":
+    if engine == "pallas":
+        # fused kernel on the sharded path: each shard runs the same
+        # one-kernel pass over its halo-extended block, gated to its own
+        # site rows (site_rows) and the GLOBAL patch-row bounds
+        # (qy_bounds); interpret mode on non-TPU meshes (CPU tests)
+        import os
+
+        from ..core.engine_pallas import dense_pass_pallas
+
+        out_e, agg_e = dense_pass_pallas(
+            cur_e, prev_e, pval_e, basic_e, sigma, prms, mode,
+            has_prev, has_basic, return_accum=True,
+            window_dtype=os.environ.get("BNLK_WINDOW_DTYPE", "float32"),
+            interpret=jax.default_backend() != "tpu",
+            site_rows=(halo // step, (halo + block) // step),
+            qy_bounds=qy_bounds,
+        )
+    elif engine == "v2":
         # halo is step-aligned, so local site rows stay on the global
         # stride-psz/2 grid
         out_e, agg_e = dense_pass_v2(
@@ -121,7 +138,7 @@ def _sharded_pass_body(
 )
 def _spatial_pass(
     cur, prev, pvalid, basic, sigma, prms, mode, has_prev, has_basic,
-    mesh: Mesh, chunk_sites: int, engine: str = "v2",
+    mesh: Mesh, chunk_sites: int, engine: str = "auto",
 ):
     """H-sharded NL-Kalman pass.
 
@@ -146,6 +163,26 @@ def _spatial_pass(
     if block < halo:
         raise ValueError(f"shard block {block} rows < halo {halo}; reduce sp")
 
+    if engine == "auto":
+        # the fused kernel on real TPU shards when its VMEM plan fits the
+        # halo-extended block; v2 elsewhere (CPU meshes keep the fast
+        # compiled path — pallas interpret is for parity tests only)
+        import os
+
+        engine = "v2"
+        try:
+            if jax.default_backend() == "tpu":
+                from ..core.engine_pallas import pallas_pass_supported
+
+                if pallas_pass_supported(
+                    block + 2 * halo, w, ch, prms, mode,
+                    window_dtype=os.environ.get(
+                        "BNLK_WINDOW_DTYPE", "float32"),
+                ):
+                    engine = "pallas"
+        except Exception:  # pragma: no cover - no backend at all
+            pass
+
     body = functools.partial(
         _sharded_pass_body, sigma=sigma, prms=prms, mode=mode,
         has_prev=has_prev, has_basic=has_basic, chunk_sites=chunk_sites,
@@ -160,6 +197,8 @@ def _spatial_pass(
             mesh=mesh,
             in_specs=(P("dp", "sp"), P("dp", "sp"), P("dp", "sp"), P("dp", "sp")),
             out_specs=P("dp", "sp"),
+            # pallas_call out_shapes carry no varying-mesh-axes info
+            check_vma=False,
         )
     else:
         fn = shard_map(
@@ -167,6 +206,7 @@ def _spatial_pass(
             mesh=mesh,
             in_specs=(P("sp"), P("sp"), P("sp"), P("sp")),
             out_specs=P("sp"),
+            check_vma=False,
         )
     return fn(cur, prev, pvalid, basic)
 

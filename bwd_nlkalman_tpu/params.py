@@ -39,6 +39,12 @@ class NLKParams:
     npatches_t: int = -1     # number of similar patches, temporal (kalman)
     npatches_tagg: int = -1  # group size aggregated after the kalman update
     dista_lambda: float = -1.0  # weight of current frame in patch distance
+    # patch-distance THRESHOLD selection (the reference's non-K build,
+    # src/nlkalman.h:32 + src/nlkalman.c:528,712-717): 0 (default) keeps
+    # the shipped K-similar-patches selection; > 0 selects every patch
+    # with normalized distance <= dista_th^2 (with the non-K build's
+    # dista_sigma2 noise correction, src/nlkalman.c:633).
+    dista_th: float = 0.0
     beta_x: float = -1.0     # noise multiplier, spatial (wiener) filtering
     beta_t: float = -1.0     # noise multiplier, kalman filtering
 
@@ -98,4 +104,5 @@ def default_params(
         dista_lambda=dista_lambda,
         beta_x=beta_x,
         beta_t=beta_t,
+        dista_th=p.dista_th,
     )

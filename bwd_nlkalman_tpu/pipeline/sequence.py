@@ -125,6 +125,84 @@ def filter_sequence(
     return flt1, flt2
 
 
+@functools.partial(jax.jit, static_argnames=("sigma", "p1", "p2"))
+def filter_sequence_precomputed(
+    noisy: jnp.ndarray,
+    bflow: jnp.ndarray,
+    bocc: jnp.ndarray,
+    sigma: float,
+    p1: NLKParams | None = None,
+    p2: NLKParams | None = None,
+):
+    """Forward filtering with PRECOMPUTED backward flow/occlusions.
+
+    The training protocol's economy (nlkalman-train.sh:17-28): flow is
+    computed once per (sequence, sigma) from the NOISY frames
+    (tvl1flow-seq.sh:26-50) and reused across every parameter trial —
+    unlike the production driver, which recomputes flow against the
+    previous FILTERED frame each step.  bflow: (T, H, W, 2); bocc:
+    (T, H, W) (nonzero = occluded); frame 0's entries are unused.
+    """
+    if p1 is None:
+        p1 = default_params(sigma, FilterMode.FLT1)
+    if p2 is None:
+        p2 = default_params(sigma, FilterMode.FLT2)
+
+    f11_0, f21_0 = filter_frame_pair(noisy[0], None, None, sigma, p1, p2)
+
+    def step(carry, xs):
+        frame, flow, occ = xs
+        flt1_prev, flt2_prev = carry
+        n_opp = rgb2opp(frame)
+        c = frame.shape[-1]
+        both = jnp.concatenate(
+            [rgb2opp(flt1_prev), rgb2opp(flt2_prev)], axis=-1
+        )
+        wb, v1 = warp_bicubic_nan(both, flow, occ)
+        f11 = nlkalman_filter_frame(n_opp, wb[..., :c], v1, None, sigma, p1)
+        f21 = nlkalman_filter_frame(n_opp, wb[..., c:], v1, f11, sigma, p2)
+        out = (opp2rgb(f11), opp2rgb(f21))
+        return out, out
+
+    (_, _), (flt1_rest, flt2_rest) = jax.lax.scan(
+        step, (f11_0, f21_0), (noisy[1:], bflow[1:], bocc[1:])
+    )
+    flt1 = jnp.concatenate([f11_0[None], flt1_rest], axis=0)
+    flt2 = jnp.concatenate([f21_0[None], flt2_rest], axis=0)
+    return flt1, flt2
+
+
+@functools.partial(jax.jit, static_argnames=("sigma", "ps"))
+def smooth_sequence_precomputed(
+    flt2: jnp.ndarray,
+    fflow: jnp.ndarray,
+    focc: jnp.ndarray,
+    sigma: float,
+    ps: NLKParams | None = None,
+):
+    """Backward RTS smoothing with PRECOMPUTED forward flow/occlusions
+    (fflow[t]: frame t -> t+1 from the noisy fixtures; the last frame's
+    entries are unused)."""
+    if ps is None:
+        ps = default_params(sigma, FilterMode.SMO1)
+
+    smo_last = flt2[-1]
+
+    def step(carry, xs):
+        frame_flt2, flow, occ = xs
+        smo_next = carry
+        w0, v0 = warp_bicubic_nan(rgb2opp(smo_next), flow, occ)
+        smo = opp2rgb(
+            nlkalman_smooth_frame(rgb2opp(frame_flt2), w0, v0, sigma, ps)
+        )
+        return smo, smo
+
+    _, smo_rest = jax.lax.scan(
+        step, smo_last, (flt2[:-1], fflow[:-1], focc[:-1]), reverse=True
+    )
+    return jnp.concatenate([smo_rest, smo_last[None]], axis=0)
+
+
 @functools.partial(jax.jit, static_argnames=("sigma", "ps", "flow_cfg"))
 def smooth_sequence(
     flt2: jnp.ndarray,

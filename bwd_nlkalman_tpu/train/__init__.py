@@ -10,6 +10,11 @@ from .search import (  # noqa: F401
     gradient_descent,
     grid_search_2d,
 )
+from .fixtures import (  # noqa: F401
+    Fixtures,
+    make_fixtures,
+    cached_fixtures,
+)
 from .view_results import (  # noqa: F401
     load_table,
     best_rows,

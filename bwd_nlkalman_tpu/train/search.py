@@ -59,8 +59,16 @@ def evaluate(
     smoothing: bool = True,
     flow_cfg=None,
     smooth_flow_cfg=None,
+    fixtures=None,
 ) -> TrialResult:
-    """Mean per-stage MSE/PSNR of one parameter set over clean sequences."""
+    """Mean per-stage MSE/PSNR of one parameter set over clean sequences.
+
+    ``fixtures``: optional list of :class:`..train.fixtures.Fixtures`
+    (one per sequence).  When given, the evaluation runs the reference's
+    TRAINING protocol — precomputed noise and noisy-frame flow reused
+    across trials (nlkalman-train.sh:17-28) — instead of recomputing
+    TV-L1 inside every trial.
+    """
     import jax.numpy as jnp
     from ..pipeline import FlowConfig
 
@@ -73,11 +81,29 @@ def evaluate(
         seq_seeds = (
             [1000 * si + i for i in range(t)] if seeds is None else seeds[si]
         )
-        noisy = add_noise_sequence(np.asarray(clean, np.float32), sigma, seq_seeds)
-        flt1, flt2, smo1 = denoise_sequence(
-            jnp.asarray(noisy), sigma, p1, p2, ps, smoothing=smoothing,
-            flow_cfg=flow_cfg, smooth_flow_cfg=smooth_flow_cfg,
-        )
+        if fixtures is not None:
+            from ..pipeline.sequence import (
+                filter_sequence_precomputed, smooth_sequence_precomputed)
+
+            fx = fixtures[si]
+            flt1, flt2 = filter_sequence_precomputed(
+                jnp.asarray(fx.noisy), jnp.asarray(fx.bflow),
+                jnp.asarray(fx.bocc), sigma, p1, p2,
+            )
+            smo1 = None
+            if smoothing:
+                smo1 = smooth_sequence_precomputed(
+                    flt2, jnp.asarray(fx.fflow), jnp.asarray(fx.focc),
+                    sigma, ps,
+                )
+        else:
+            noisy = add_noise_sequence(
+                np.asarray(clean, np.float32), sigma, seq_seeds
+            )
+            flt1, flt2, smo1 = denoise_sequence(
+                jnp.asarray(noisy), sigma, p1, p2, ps, smoothing=smoothing,
+                flow_cfg=flow_cfg, smooth_flow_cfg=smooth_flow_cfg,
+            )
         ff = min(first_frame, t - 1)
         stacks = {"flt1": np.asarray(flt1), "flt2": np.asarray(flt2)}
         if smo1 is not None:
@@ -99,6 +125,7 @@ def random_search(
     table_path: str | None = None,
     first_frame: int = 10,
     smoothing: bool = False,
+    fixtures=None,
 ):
     """Random search a la train.sh:40-102: samples np in [0,99),
     beta_x in [0,8), beta_t in [2,12), lambda in [0,1) at p=8, w=10."""
@@ -118,7 +145,8 @@ def random_search(
         p2 = default_params(sigma, FilterMode.FLT2)
         ps = default_params(sigma, FilterMode.SMO1)
         r = evaluate(clean_seqs, sigma, base, p2, ps,
-                     first_frame=first_frame, smoothing=smoothing)
+                     first_frame=first_frame, smoothing=smoothing,
+                     fixtures=fixtures)
         results.append(r)
         if table_path:
             with open(table_path, "a") as fh:

@@ -95,3 +95,40 @@ def test_iio_reads_our_png(tmp_path, rng):
     write_png(png, img)
     subprocess.run([os.path.join(REFBIN, "iion"), png, pfm], check=True)
     np.testing.assert_allclose(read_pfm(pfm), img, atol=0)
+
+
+@pytest.mark.skipif(
+    not __import__("bwd_nlkalman_tpu.native", fromlist=["available"]).available(),
+    reason="native io not built",
+)
+def test_jpeg_roundtrip(tmp_path, rng):
+    """JPEG via the native layer (iio's I_CAN_HAS_LIBJPEG, iio.c:30)."""
+    from bwd_nlkalman_tpu.io import read_image, write_image
+
+    img = np.clip(
+        np.cumsum(rng.standard_normal((24, 32, 1)), 1) * 4 + 128, 0, 255
+    ).astype(np.float32)
+    p = str(tmp_path / "a.jpg")
+    write_image(p, img)
+    back = read_image(p)
+    assert back.shape == img.shape
+    assert np.abs(back - img).mean() < 4.0  # lossy but close at q=95
+
+
+@pytest.mark.skipif(not has_ref, reason="reference binaries not built")
+@pytest.mark.skipif(
+    not __import__("bwd_nlkalman_tpu.native", fromlist=["available"]).available(),
+    reason="native io not built",
+)
+def test_iio_cross_reads_our_jpeg(tmp_path, rng):
+    """iio must decode our JPEG to the same samples we decode."""
+    from bwd_nlkalman_tpu.io import read_image, write_image
+
+    img = np.clip(
+        np.cumsum(rng.standard_normal((16, 20, 3)), 1) * 6 + 128, 0, 255
+    ).astype(np.float32)
+    jp = str(tmp_path / "b.jpg")
+    tif = str(tmp_path / "b.tif")
+    write_image(jp, img)
+    subprocess.run([os.path.join(REFBIN, "iion"), jp, tif], check=True)
+    np.testing.assert_allclose(read_image(tif), read_image(jp), atol=0)

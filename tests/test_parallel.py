@@ -123,3 +123,65 @@ def test_batched_dpsp_pass_matches_single(rng):
         ref = np.asarray(nlkalman_filter_frame(
             jnp.asarray(batch[i]), None, None, None, sigma, PRMS))
         np.testing.assert_allclose(got[i], ref, rtol=1e-4, atol=2e-3)
+
+
+def test_sharded_pallas_matches_single_pallas(rng):
+    """The fused Pallas kernel on the sharded path (site_rows/qy_bounds,
+    interpret mode on the CPU mesh) == the single-chip fused kernel."""
+    from bwd_nlkalman_tpu.core.engine_pallas import dense_pass_pallas
+    from bwd_nlkalman_tpu.parallel.spatial import _spatial_pass
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs 2 devices")
+    mesh = make_mesh(dp=1, sp=2, devices=jax.devices()[:2])
+    prms = NLKParams(
+        patch_sz=4, search_sz_x=3, search_sz_t=2,
+        npatches_x=8, npatches_t=6, npatches_tagg=4,
+        dista_lambda=1.0, beta_x=3.0, beta_t=2.0,
+    )
+    sigma = 15.0
+    h, w = 64, 32
+    noisy = _frame(rng, h, w)
+    prev = noisy + 3 * rng.standard_normal(noisy.shape).astype(np.float32)
+    valid = np.ones((h, w), bool)
+    valid[30:40, 5:20] = False
+    prev_z = jnp.where(jnp.asarray(valid)[..., None], jnp.asarray(prev), 0.0)
+
+    ref = np.asarray(dense_pass_pallas(
+        jnp.asarray(noisy), prev_z, jnp.asarray(valid), jnp.asarray(noisy),
+        sigma, prms, "filter", True, False, interpret=True,
+    ))
+    got = np.asarray(_spatial_pass(
+        jnp.asarray(noisy), prev_z, jnp.asarray(valid), jnp.asarray(noisy),
+        sigma, prms, "filter", True, False, mesh, 256, engine="pallas",
+    ))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=2e-3)
+
+
+def test_sharded_production_params_temporal(rng):
+    """Production configuration across shards: psz=8, search 10/5 (halo
+    20 rows) on a 160-row frame with a flow-warped previous frame and a
+    real validity mask (VERDICT round-2 item 4)."""
+    from bwd_nlkalman_tpu.ops.warp import warp_bicubic_nan
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    mesh = make_mesh(dp=1, sp=4, devices=jax.devices()[:4])
+    prms = NLKParams(
+        patch_sz=8, search_sz_x=10, search_sz_t=5,
+        npatches_x=40, npatches_t=30, npatches_tagg=20,
+        dista_lambda=1.0, beta_x=3.0, beta_t=2.0,
+    )
+    sigma = 20.0
+    h, w = 160, 96
+    noisy = _frame(rng, h, w)
+    prev_raw = np.roll(noisy, (2, -1), (0, 1))
+    flow = jnp.broadcast_to(
+        jnp.asarray([1.3, -2.1], jnp.float32), (h, w, 2)
+    )
+    warped, valid = warp_bicubic_nan(jnp.asarray(prev_raw), flow)
+    ref = np.asarray(nlkalman_filter_frame(
+        jnp.asarray(noisy), warped, valid, None, sigma, prms))
+    got = np.asarray(spatial_filter_frame(
+        jnp.asarray(noisy), warped, valid, None, sigma, prms, mesh))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=2e-3)

@@ -1,0 +1,279 @@
+"""Round-3 features: fused whole-level TV-L1, matmul resampling,
+training fixtures + precomputed-flow drivers."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def _scene(t, h, w, c, rng):
+    """Slowly translating smooth texture."""
+    base = np.cumsum(np.cumsum(rng.normal(size=(h + 2 * t, w + 2 * t, c)), 0), 1)
+    base = (base - base.min()) / (base.max() - base.min()) * 200 + 20
+    return np.stack(
+        [base[2 * i : 2 * i + h, i : i + w] for i in range(t)]
+    ).astype(np.float32)
+
+
+class TestFusedFlowLevel:
+    def test_interpret_parity_vs_xla(self, rng):
+        """Whole-level fused kernel == the XLA single-scale solver at the
+        same convergence granularity (tvl1flow_lib.c:93-275)."""
+        import bwd_nlkalman_tpu.flow.tvl1 as T
+        from bwd_nlkalman_tpu.flow.tvl1 import tvl1_flow_single_scale
+        from bwd_nlkalman_tpu.flow.tvl1_fused import tvl1_single_scale_fused
+
+        h, w = 25, 41
+        base = np.cumsum(np.cumsum(rng.normal(size=(h + 8, w + 8)), 0), 1)
+        base = ((base - base.min()) / (base.max() - base.min()) * 255).astype(
+            np.float32
+        )
+        i0 = jnp.asarray(base[4 : 4 + h, 4 : 4 + w])
+        i1 = jnp.asarray(base[2 : 2 + h, 5 : 5 + w])
+        u0 = jnp.zeros((h, w, 2), jnp.float32)
+
+        old_cap = T.MAX_ITERATIONS
+        try:
+            T.MAX_ITERATIONS = 32       # bound the interpret cost
+            ref = tvl1_flow_single_scale(i0, i1, u0, nwarps=2, check_every=8)
+        finally:
+            T.MAX_ITERATIONS = old_cap
+        out = tvl1_single_scale_fused(
+            i0, i1, u0, nwarps=2, k_check=8, max_iters=32, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+    def test_supported_plan(self):
+        from bwd_nlkalman_tpu.flow.tvl1_fused import fused_level_supported
+
+        assert fused_level_supported(540, 960)
+        assert not fused_level_supported(4000, 4000)
+
+
+class TestMatmulResample:
+    def test_zoom_out_matches_gather_oracle(self, rng):
+        """Matrix zoom_out == the explicit blur+bicubic-sample
+        formulation (zoom.c:43-79)."""
+        from bwd_nlkalman_tpu.ops.gaussian import gaussian_blur, _kernel_np
+        from bwd_nlkalman_tpu.ops.zoom import zoom_out, zoom_size
+
+        h, w = 37, 53
+        img = rng.uniform(0, 255, (h, w)).astype(np.float32)
+        out = np.asarray(zoom_out(jnp.asarray(img), 0.5))
+        nxx, nyy = zoom_size(w, h, 0.5)
+        assert out.shape == (nyy, nxx)
+
+        # oracle: numpy blur (same taps) + Catmull-Rom sampling at (2j, 2i)
+        import math
+        sigma = 0.6 * math.sqrt(1.0 / 0.25 - 1.0)
+        size = int(5 * sigma) + 1
+        kern = _kernel_np(sigma)
+
+        def blur1d(x):
+            wdim = x.shape[1]
+            left = x[:, size:0:-1]
+            right = x[:, wdim - 1 : wdim - size - 1 : -1]
+            xp = np.concatenate([left, x, right], axis=1)
+            acc = np.zeros_like(x)
+            for j in range(2 * size - 1):
+                acc += kern[j] * xp[:, j + 1 : j + 1 + wdim]
+            return acc
+
+        ims = blur1d(blur1d(img).T).T
+        # factor 0.5 samples at exactly integer coords -> value copy
+        oracle = ims[: 2 * nyy : 2, : 2 * nxx : 2]
+        np.testing.assert_allclose(out, oracle, atol=2e-3)
+
+    def test_zoom_in_interpolates(self, rng):
+        from bwd_nlkalman_tpu.ops.zoom import zoom_in
+
+        img = rng.uniform(0, 255, (12, 17)).astype(np.float32)
+        out = np.asarray(zoom_in(jnp.asarray(img), 34, 24))
+        assert out.shape == (24, 34)
+        # exact 2x upsample copies source samples at even coords
+        np.testing.assert_allclose(out[::2, ::2], img, atol=1e-3)
+
+
+class TestDistanceVariants:
+    """LAMBDA_DISTANCE (src/nlkalman.c:647-684) and the non-K dista_th
+    threshold selection (src/nlkalman.h:32) — compile-time variants of
+    the reference, exposed as v2-engine parameters."""
+
+    def _data(self, rng):
+        h, w = 24, 28
+        cur = rng.uniform(0, 255, (h, w, 1)).astype(np.float32)
+        prev = (cur + 4 * rng.standard_normal((h, w, 1))).astype(np.float32)
+        valid = np.ones((h, w), bool)
+        return jnp.asarray(cur), jnp.asarray(prev), jnp.asarray(valid)
+
+    def test_lambda_one_is_default(self, rng):
+        import dataclasses
+        from bwd_nlkalman_tpu.core.engine import dense_pass_v2
+        from bwd_nlkalman_tpu.params import NLKParams
+
+        cur, prev, valid = self._data(rng)
+        p = NLKParams(patch_sz=4, search_sz_x=3, search_sz_t=2,
+                      npatches_x=8, npatches_t=6, npatches_tagg=4,
+                      beta_x=2.0, beta_t=2.0, dista_lambda=1.0)
+        a = dense_pass_v2(cur, prev, valid, cur, 10.0, p, "filter", True,
+                          False)
+        b = dense_pass_v2(cur, prev, valid, cur, 10.0,
+                          dataclasses.replace(p, dista_lambda=0.5),
+                          "filter", True, False)
+        # the blended distance changes the candidate sets
+        assert np.abs(np.asarray(a) - np.asarray(b)).max() > 0
+        # but remains a sane denoiser (not a blow-up)
+        assert np.abs(np.asarray(b) - np.asarray(cur)).mean() < 30
+
+    def test_dista_th_large_equals_select_all(self, rng):
+        import dataclasses
+        from bwd_nlkalman_tpu.core.engine import dense_pass_v2
+        from bwd_nlkalman_tpu.params import NLKParams
+
+        cur, prev, valid = self._data(rng)
+        n_off = (2 * 3 + 1) ** 2
+        p_th = NLKParams(patch_sz=4, search_sz_x=3, search_sz_t=3,
+                         npatches_x=1, npatches_t=1, npatches_tagg=1,
+                         beta_x=2.0, beta_t=2.0, dista_lambda=1.0,
+                         dista_th=1e4)
+        p_all = dataclasses.replace(
+            p_th, dista_th=0.0, npatches_x=n_off, npatches_t=n_off,
+            npatches_tagg=n_off,
+        )
+        a = dense_pass_v2(cur, prev, valid, cur, 10.0, p_th, "filter",
+                          True, False)
+        b = dense_pass_v2(cur, prev, valid, cur, 10.0, p_all, "filter",
+                          True, False)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+    def test_pallas_rejects_variants(self, rng):
+        from bwd_nlkalman_tpu.core.engine_pallas import (
+            dense_pass_pallas, pallas_pass_supported)
+        from bwd_nlkalman_tpu.params import NLKParams
+
+        cur, prev, valid = self._data(rng)
+        p = NLKParams(patch_sz=4, search_sz_x=3, search_sz_t=2,
+                      npatches_x=8, npatches_t=6, npatches_tagg=4,
+                      beta_x=2.0, beta_t=2.0, dista_lambda=0.5)
+        assert not pallas_pass_supported(24, 28, 1, p, "filter")
+        with pytest.raises(ValueError):
+            dense_pass_pallas(cur, prev, valid, cur, 10.0, p, "filter",
+                              True, False, interpret=True)
+
+
+class TestStreamingSmoothers:
+    def test_streaming_fsmo_equals_scan(self, rng):
+        """Streaming fsmo == the whole-clip fsmo_sequence scan
+        (scripts/nlkalman-fsmo-seq.sh:58-94)."""
+        from bwd_nlkalman_tpu.pipeline.sequence import fsmo_sequence
+        from bwd_nlkalman_tpu.pipeline.stream import StreamingDenoiser
+
+        clean = _scene(5, 32, 40, 1, rng)
+        noisy = clean + 10 * rng.standard_normal(clean.shape).astype(np.float32)
+        f1s, f2s, smos = fsmo_sequence(jnp.asarray(noisy), 20.0)
+
+        sd = StreamingDenoiser(20.0, smoother="fsmo")
+        for t in range(5):
+            f1, f2 = sd.step(noisy[t])
+            np.testing.assert_allclose(f2, np.asarray(f2s[t]), atol=1e-3)
+            np.testing.assert_allclose(
+                np.asarray(sd.smo), np.asarray(smos[t]), atol=1e-3
+            )
+
+    def test_streaming_lsmo_equals_scan(self, rng):
+        from bwd_nlkalman_tpu.pipeline.sequence import (
+            filter_sequence, lsmo_sequence)
+        from bwd_nlkalman_tpu.pipeline.stream import StreamingDenoiser
+
+        clean = _scene(4, 32, 40, 1, rng)
+        noisy = clean + 10 * rng.standard_normal(clean.shape).astype(np.float32)
+        _, f2s = filter_sequence(jnp.asarray(noisy), 20.0)
+        lsms = lsmo_sequence(f2s, 20.0)
+
+        sd = StreamingDenoiser(20.0, smoother="lsmo")
+        got = [None] * 4
+        for t in range(4):
+            sd.step(noisy[t])
+            if sd.lsm is not None:
+                got[t - 1] = np.asarray(sd.lsm)
+        got[3] = sd.finalize()
+        for t in range(4):
+            np.testing.assert_allclose(got[t], np.asarray(lsms[t]), atol=1e-3)
+
+    def test_kill_resume_checkpoint(self, rng, tmp_path):
+        """Periodic async checkpoint + resume reproduces the uninterrupted
+        run exactly."""
+        from bwd_nlkalman_tpu.pipeline.stream import run_streaming
+
+        clean = _scene(6, 24, 32, 1, rng)
+        noisy = clean + 10 * rng.standard_normal(clean.shape).astype(np.float32)
+        ck = str(tmp_path / "state.npz")
+
+        full = run_streaming(lambda i: noisy[i], 0, 5, 20.0,
+                             smoother="fsmo", checkpoint_every=2)
+        # run frames 0..2 with checkpointing, "crash", resume 3..5
+        run_streaming(lambda i: noisy[i], 0, 2, 20.0, checkpoint_path=ck,
+                      smoother="fsmo", checkpoint_every=1)
+        resumed = run_streaming(lambda i: noisy[i], 0, 5, 20.0,
+                                checkpoint_path=ck, smoother="fsmo",
+                                checkpoint_every=2)
+        assert len(resumed) == 3     # only frames 3..5 recomputed
+        for (f1a, f2a), (f1b, f2b) in zip(full[3:], resumed):
+            np.testing.assert_allclose(f2a, f2b, atol=1e-4)
+
+
+class TestTrainingFixtures:
+    def test_fixtures_and_precomputed_drivers(self, rng, tmp_path):
+        from bwd_nlkalman_tpu.train import cached_fixtures
+        from bwd_nlkalman_tpu.pipeline.sequence import (
+            filter_sequence_precomputed, smooth_sequence_precomputed)
+
+        clean = _scene(4, 32, 40, 1, rng)
+        seeds = list(range(4))
+        fx = cached_fixtures(str(tmp_path), "toy", clean, 20.0, seeds)
+        assert fx.bflow.shape == (4, 32, 40, 2)
+        # frame 0 copies frame 1 (tvl1flow-seq.sh:43)
+        np.testing.assert_array_equal(fx.bflow[0], fx.bflow[1])
+        np.testing.assert_array_equal(fx.fflow[-1], fx.fflow[-2])
+
+        # cache round trip is exact
+        fx2 = cached_fixtures(str(tmp_path), "toy", clean, 20.0, seeds)
+        np.testing.assert_array_equal(fx.noisy, fx2.noisy)
+        np.testing.assert_array_equal(fx.bflow, fx2.bflow)
+
+        flt1, flt2 = filter_sequence_precomputed(
+            jnp.asarray(fx.noisy), jnp.asarray(fx.bflow),
+            jnp.asarray(fx.bocc), 20.0,
+        )
+        smo1 = smooth_sequence_precomputed(
+            flt2, jnp.asarray(fx.fflow), jnp.asarray(fx.focc), 20.0
+        )
+
+        def psnr(a, b):
+            return 10 * np.log10(255.0 ** 2 / np.mean((a - b) ** 2))
+
+        noisy_psnr = psnr(fx.noisy, clean)
+        assert psnr(np.asarray(flt2), clean) > noisy_psnr + 4
+        assert psnr(np.asarray(smo1), clean) > noisy_psnr + 4
+
+    def test_evaluate_consumes_fixtures(self, rng, tmp_path):
+        from bwd_nlkalman_tpu.train import cached_fixtures, evaluate
+        from bwd_nlkalman_tpu.params import default_params, FilterMode
+
+        clean = _scene(3, 24, 32, 1, rng)
+        fx = cached_fixtures(str(tmp_path), "t2", clean, 20.0, [0, 1, 2])
+        r = evaluate(
+            [clean], 20.0,
+            default_params(20.0, FilterMode.FLT1),
+            default_params(20.0, FilterMode.FLT2),
+            default_params(20.0, FilterMode.SMO1),
+            first_frame=0, border=4, fixtures=[fx],
+        )
+        assert np.isfinite(r.mse["flt2"]) and r.mse["flt2"] < 400.0
