@@ -113,6 +113,7 @@ def dense_pass_v2(
     qy_bounds: jnp.ndarray | None = None,  # (2,) valid local patch-row range
     return_accum: bool = False,       # return (out_acc, agg) pre-normalization
     window_dtype: str = "float32",    # "bfloat16" halves window traffic
+    dyn: dict | None = None,          # TRACED scalar overrides (training)
 ) -> jnp.ndarray:
     h, w, ch = cur.shape
     psz = prms.patch_sz
@@ -129,7 +130,19 @@ def dense_pass_v2(
         rad_t = prms.search_sz_t
     n_off1 = 2 * rad + 1
     n_off = n_off1 * n_off1
-    np_t, np_x, nagg = prms.npatches_t, prms.npatches_x, prms.npatches_tagg
+    # group sizes / noise multipliers: static from prms, or TRACED scalars
+    # (dict np_t/np_x/nagg/beta_x/beta_t) so a parameter search over them
+    # reuses ONE compiled kernel across every trial (nlkalman-train.sh's
+    # economy; shapes/radii stay static)
+    if dyn is not None:
+        np_t = dyn["np_t"]
+        np_x = dyn["np_x"]
+        nagg = dyn["nagg"]
+        beta_x = dyn["beta_x"]
+        beta_t = dyn["beta_t"]
+    else:
+        np_t, np_x, nagg = prms.npatches_t, prms.npatches_x, prms.npatches_tagg
+        beta_x, beta_t = prms.beta_x, prms.beta_t
 
     # site grid: py = step*i < hh, px = step*j < ww  [src/nlkalman.c:586,595]
     ny = (hh - 1) // step + 1
@@ -298,7 +311,7 @@ def dense_pass_v2(
             ).reshape(rb, nx)
 
         # threshold mode has no group-size caps (non-K build)
-        nagg_f = float(nagg) if prms.dista_th <= 0.0 else float(n_off)
+        nagg_f = nagg * 1.0 if prms.dista_th <= 0.0 else float(n_off)
         bmat = bits2.reshape(n_off, rb, nx)
         sel1 = cand & (bmat <= th1[None])
         m0sel = prevc & (bmat <= thp[None])
@@ -337,10 +350,10 @@ def dense_pass_v2(
 
         if mode == "filter":
             v_t = v0 + jnp.maximum(0.0, v01 - sub)
-            a_t = v_t / (v_t + prms.beta_t * sigma2)
+            a_t = v_t / (v_t + beta_t * sigma2)
             vp_t = jnp.sum((1.0 - a_t * a_t) * v_t + a_t * a_t * sigma2, axis=-1)
             v_x = jnp.maximum(0.0, v1 - sub)
-            a_x = v_x / (v_x + prms.beta_x * sigma2)
+            a_x = v_x / (v_x + beta_x * sigma2)
             vp_x = jnp.sum(a_x * v_x, axis=-1)
             a = jnp.where(temporal, a_t, a_x)
             m_ref = jnp.where(temporal, m0, m1_mean)
@@ -351,7 +364,7 @@ def dense_pass_v2(
             # filtered dct at member q: a (.) Nd[q] + (1-a) (.) m_ref
             acc_specs = (a, (1.0 - a) * m_ref)                 # gain on Nd; bias
         else:
-            b = prms.beta_t
+            b = beta_t
             denom = v1 + b * v01
             a = jnp.where(denom > 0.0, v1 / jnp.maximum(denom, 1e-30), 0.0)
             vp = jnp.sum(

@@ -150,6 +150,8 @@ def _fused_pass_kernel(
 
     i = 0
     qyb_ref = refs[i]; i += 1            # SMEM (2,): global patch-row bounds
+    dyn_ref = refs[i] if cfg["dyn"] else None
+    i += 1 if cfg["dyn"] else 0          # SMEM (8,) f32 traced scalars
     xraw_hbm = refs[i]; i += 1
     draw_hbm = refs[i] if has_prev else None; i += 1 if has_prev else 0
     nraw_hbm = refs[i] if has_basic else None; i += 1 if has_basic else 0
@@ -180,6 +182,13 @@ def _fused_pass_kernel(
     pix_acc = refs[i]; i += 1
     sem = refs[i]; i += 1
     assert i == len(refs)
+
+    if cfg["dyn"]:
+        np_t = dyn_ref[0].astype(jnp.int32)
+        np_x = dyn_ref[1].astype(jnp.int32)
+        nagg = dyn_ref[2].astype(jnp.int32)
+        beta_x = dyn_ref[3]
+        beta_t = dyn_ref[4]
 
     sr = pl.program_id(0)
     inv_f = 1.0 / float(f)
@@ -491,7 +500,7 @@ def _fused_pass_kernel(
             m0vc = acc_m0v[:] / np0s
             v0 = jnp.maximum(acc_e0[:] / np0s - m0vc * m0vc, 0.0)
             v01 = acc_v01[:] / np0s
-            m0 = acc_m0[:] / jnp.minimum(np0s, float(nagg))
+            m0 = acc_m0[:] / jnp.minimum(np0s, nagg * 1.0)
         else:
             v0 = v01 = m0 = jnp.zeros_like(v1)
 
@@ -510,7 +519,7 @@ def _fused_pass_kernel(
             a = jnp.where(temporal, a_t, a_x)
             m_ref = jnp.where(temporal, m0, m1_mean)
             nagg_eff = jnp.minimum(
-                jnp.where(np0 > 0, np0, np1), float(nagg)
+                jnp.where(np0 > 0, np0, np1), nagg * 1.0
             )
             vp = jnp.where(temporal, vp_t, vp_x) * nagg_eff
             wgt = 1.0 / jnp.maximum(vp, 1e-6)
@@ -525,7 +534,7 @@ def _fused_pass_kernel(
                 (1.0 - a * a) * v1
                 + a * a * jnp.maximum(v0 - b_t * v01, 0.0),
                 axis=0, keepdims=True,
-            ) * jnp.minimum(np0, float(nagg))
+            ) * jnp.minimum(np0, nagg * 1.0)
             wgt = 1.0 / jnp.maximum(vp, 1e-6)
             pass_m = (np0 == 0.0) & site_m
             gspec = jnp.where(pass_m, 1.0, 1.0 - a)
@@ -711,6 +720,7 @@ def dense_pass_pallas(
     stage: str = "all",   # "prep" | "kernel" | "all" — profiling cut points
     site_rows: tuple | None = None,   # static (start, stop) local site rows
     qy_bounds: jnp.ndarray | None = None,  # (2,) valid local patch-row range
+    dyn: dict | None = None,          # TRACED scalar overrides (training)
 ):
     """Drop-in equivalent of engine.dense_pass_v2 built on the fused kernel."""
     if prms.dista_lambda != 1.0 or prms.dista_th > 0.0:
@@ -783,14 +793,26 @@ def dense_pass_pallas(
         else qy_bounds.astype(jnp.int32)
     )
     x_img = basic if has_basic else cur
-    ins = [qyb, prep_raw(x_img)]
+    ins = [qyb]
+    if dyn is not None:
+        ins.append(jnp.stack([
+            jnp.asarray(dyn["np_t"], jnp.float32),
+            jnp.asarray(dyn["np_x"], jnp.float32),
+            jnp.asarray(dyn["nagg"], jnp.float32),
+            jnp.asarray(dyn["beta_x"], jnp.float32),
+            jnp.asarray(dyn["beta_t"], jnp.float32),
+            jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+            jnp.zeros((), jnp.float32),
+        ]))
+    ins.append(prep_raw(x_img))
     if has_prev:
         ins.append(prep_raw(prev, prev_valid))
     if has_basic:
         ins.append(prep_raw(cur))
 
+    n_scalar_ins = 1 + (1 if dyn is not None else 0)
     if stage == "prep":
-        return tuple(ins[1:])
+        return tuple(ins[n_scalar_ins:])
 
     ins.append(jnp.asarray(_inkernel_dct_basis_np(psz, blk)))
     # inverse-DCT basis with pixel rows permuted dx-major (row dx*psz+dy)
@@ -848,10 +870,13 @@ def dense_pass_pallas(
         bh_c=bh_c, nrr=nrr, blk=blk,
         sr_lo=0 if site_rows is None else site_rows[0],
         sr_hi=n_rows if site_rows is None else min(site_rows[1], n_rows),
+        dyn=dyn is not None,
     )
 
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
-    in_specs += [pl.BlockSpec(memory_space=pltpu.ANY)] * (len(ins) - 4)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * n_scalar_ins
+    in_specs += [pl.BlockSpec(memory_space=pltpu.ANY)] * (
+        len(ins) - n_scalar_ins - 3
+    )
     in_specs.append(
         pl.BlockSpec((step * blk, tap), lambda s: (0, 0),
                      memory_space=pltpu.VMEM)

@@ -417,6 +417,7 @@ def nlkalman_filter_frame(
     prms: NLKParams,
     chunk_sites: int | None = None,
     engine: str = "auto",
+    dyn: dict | None = None,
 ) -> jnp.ndarray:
     """One NL-Kalman filtering pass over a frame (OPP color space).
 
@@ -446,6 +447,7 @@ def nlkalman_filter_frame(
             nisy, deno0, prev_valid, basic, float(sigma), prms, "filter",
             has_prev, has_basic,
             window_dtype=os.environ.get("BNLK_WINDOW_DTYPE", "float32"),
+            dyn=dyn,
         )
     if engine == "v2":
         import os
@@ -456,6 +458,7 @@ def nlkalman_filter_frame(
             nisy, deno0, prev_valid, basic, float(sigma), prms, "filter",
             has_prev, has_basic, rb,
             window_dtype=os.environ.get("BNLK_WINDOW_DTYPE", "float32"),
+            dyn=dyn,
         )
     if chunk_sites is None:
         chunk_sites = _auto_chunk(h, w, ch, prms.patch_sz, prms.search_sz_x)
@@ -474,6 +477,7 @@ def nlkalman_smooth_frame(
     bsic1: jnp.ndarray | None = None,
     chunk_sites: int | None = None,
     engine: str = "auto",
+    dyn: dict | None = None,
 ) -> jnp.ndarray:
     """One RTS smoothing pass (OPP space).
 
@@ -500,6 +504,7 @@ def nlkalman_smooth_frame(
             filt1, smoo0, prev_valid, basic, float(sigma), prms, "smooth",
             has_prev, has_basic,
             window_dtype=os.environ.get("BNLK_WINDOW_DTYPE", "float32"),
+            dyn=dyn,
         )
     if engine == "v2":
         import os
@@ -510,6 +515,7 @@ def nlkalman_smooth_frame(
             filt1, smoo0, prev_valid, basic, float(sigma), prms, "smooth",
             has_prev, has_basic, rb,
             window_dtype=os.environ.get("BNLK_WINDOW_DTYPE", "float32"),
+            dyn=dyn,
         )
     if chunk_sites is None:
         chunk_sites = _auto_chunk(h, w, ch, prms.patch_sz, prms.search_sz_t)

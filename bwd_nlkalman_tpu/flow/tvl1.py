@@ -230,10 +230,16 @@ def tvl1_flow(
             a, b = pyr[s]
             if use_pallas and fused_level_supported(*a.shape):
                 # whole-level fused kernel (warp + all iterations in one
-                # launch) — the per-launch overhead dominates every level
+                # launch) — the per-launch overhead dominates every level.
+                # Coarse levels check convergence less often: the
+                # while-round boundary (err reduce + state flush) is the
+                # dominant fixed cost when planes are tiny, and running a
+                # few iterations past the stopping point only brings the
+                # iterate closer to the fixed point.
+                k_check = 8 if a.shape[0] * a.shape[1] > 200_000 else 24
                 u = tvl1_single_scale_fused(
                     a, b, u, tau=tau, lambda_=lambda_, theta=theta,
-                    nwarps=nwarps, epsilon=epsilon,
+                    nwarps=nwarps, epsilon=epsilon, k_check=k_check,
                 )
             elif use_pallas:
                 u = tvl1_single_scale_pallas(

@@ -133,6 +133,8 @@ def filter_sequence_precomputed(
     sigma: float,
     p1: NLKParams | None = None,
     p2: NLKParams | None = None,
+    dyn1: dict | None = None,
+    dyn2: dict | None = None,
 ):
     """Forward filtering with PRECOMPUTED backward flow/occlusions.
 
@@ -148,7 +150,10 @@ def filter_sequence_precomputed(
     if p2 is None:
         p2 = default_params(sigma, FilterMode.FLT2)
 
-    f11_0, f21_0 = filter_frame_pair(noisy[0], None, None, sigma, p1, p2)
+    n0 = rgb2opp(noisy[0])
+    f11o = nlkalman_filter_frame(n0, None, None, None, sigma, p1, dyn=dyn1)
+    f21o = nlkalman_filter_frame(n0, None, None, f11o, sigma, p2, dyn=dyn2)
+    f11_0, f21_0 = opp2rgb(f11o), opp2rgb(f21o)
 
     def step(carry, xs):
         frame, flow, occ = xs
@@ -159,8 +164,10 @@ def filter_sequence_precomputed(
             [rgb2opp(flt1_prev), rgb2opp(flt2_prev)], axis=-1
         )
         wb, v1 = warp_bicubic_nan(both, flow, occ)
-        f11 = nlkalman_filter_frame(n_opp, wb[..., :c], v1, None, sigma, p1)
-        f21 = nlkalman_filter_frame(n_opp, wb[..., c:], v1, f11, sigma, p2)
+        f11 = nlkalman_filter_frame(n_opp, wb[..., :c], v1, None, sigma, p1,
+                                    dyn=dyn1)
+        f21 = nlkalman_filter_frame(n_opp, wb[..., c:], v1, f11, sigma, p2,
+                                    dyn=dyn2)
         out = (opp2rgb(f11), opp2rgb(f21))
         return out, out
 
@@ -179,6 +186,7 @@ def smooth_sequence_precomputed(
     focc: jnp.ndarray,
     sigma: float,
     ps: NLKParams | None = None,
+    dyns: dict | None = None,
 ):
     """Backward RTS smoothing with PRECOMPUTED forward flow/occlusions
     (fflow[t]: frame t -> t+1 from the noisy fixtures; the last frame's
@@ -193,7 +201,8 @@ def smooth_sequence_precomputed(
         smo_next = carry
         w0, v0 = warp_bicubic_nan(rgb2opp(smo_next), flow, occ)
         smo = opp2rgb(
-            nlkalman_smooth_frame(rgb2opp(frame_flt2), w0, v0, sigma, ps)
+            nlkalman_smooth_frame(rgb2opp(frame_flt2), w0, v0, sigma, ps,
+                                  dyn=dyns)
         )
         return smo, smo
 

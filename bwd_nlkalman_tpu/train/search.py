@@ -47,6 +47,29 @@ def format_table_row(r: TrialResult) -> str:
     )
 
 
+def _dyn_split(p: NLKParams):
+    """Canonical STATIC key + TRACED scalar dict for one parameter set.
+
+    Group sizes and noise multipliers become runtime scalars so a search
+    over them reuses ONE compiled kernel per shape (the point of the
+    reference's fixture economy — without this every trial would pay a
+    fresh XLA/Mosaic compile)."""
+    import jax.numpy as jnp
+
+    key = dataclasses.replace(
+        p, npatches_x=1, npatches_t=1, npatches_tagg=1,
+        beta_x=0.0, beta_t=0.0,
+    )
+    dyn = dict(
+        np_t=jnp.asarray(p.npatches_t, jnp.int32),
+        np_x=jnp.asarray(p.npatches_x, jnp.int32),
+        nagg=jnp.asarray(p.npatches_tagg, jnp.int32),
+        beta_x=jnp.asarray(p.beta_x, jnp.float32),
+        beta_t=jnp.asarray(p.beta_t, jnp.float32),
+    )
+    return key, dyn
+
+
 def evaluate(
     clean_seqs,
     sigma: float,
@@ -60,6 +83,7 @@ def evaluate(
     flow_cfg=None,
     smooth_flow_cfg=None,
     fixtures=None,
+    dynamic: bool = False,
 ) -> TrialResult:
     """Mean per-stage MSE/PSNR of one parameter set over clean sequences.
 
@@ -86,15 +110,21 @@ def evaluate(
                 filter_sequence_precomputed, smooth_sequence_precomputed)
 
             fx = fixtures[si]
+            if dynamic:
+                k1, d1 = _dyn_split(p1)
+                k2, d2 = _dyn_split(p2)
+                ks, ds = _dyn_split(ps)
+            else:
+                k1, d1, k2, d2, ks, ds = p1, None, p2, None, ps, None
             flt1, flt2 = filter_sequence_precomputed(
                 jnp.asarray(fx.noisy), jnp.asarray(fx.bflow),
-                jnp.asarray(fx.bocc), sigma, p1, p2,
+                jnp.asarray(fx.bocc), sigma, k1, k2, dyn1=d1, dyn2=d2,
             )
             smo1 = None
             if smoothing:
                 smo1 = smooth_sequence_precomputed(
                     flt2, jnp.asarray(fx.fflow), jnp.asarray(fx.focc),
-                    sigma, ps,
+                    sigma, ks, dyns=ds,
                 )
         else:
             noisy = add_noise_sequence(
@@ -126,9 +156,20 @@ def random_search(
     first_frame: int = 10,
     smoothing: bool = False,
     fixtures=None,
+    dynamic: bool | None = None,
+    respect_lambda: bool = False,
 ):
     """Random search a la train.sh:40-102: samples np in [0,99),
-    beta_x in [0,8), beta_t in [2,12), lambda in [0,1) at p=8, w=10."""
+    beta_x in [0,8), beta_t in [2,12), lambda in [0,1) at p=8, w=10.
+
+    With fixtures the search defaults to DYNAMIC parameter trials (one
+    compiled kernel reused across all trials).  train.sh samples a
+    distance lambda but the shipped reference build ignores it
+    (K_SIMILAR_PATCHES without LAMBDA_DISTANCE, src/nlkalman.c:686);
+    respect_lambda=True exercises our LAMBDA_DISTANCE v2 variant
+    instead, at one recompile per trial."""
+    if dynamic is None:
+        dynamic = fixtures is not None
     if rng is None:
         rng = np.random.default_rng(0)
     results = []
@@ -140,13 +181,14 @@ def random_search(
         base = NLKParams(
             patch_sz=8, search_sz_x=10, search_sz_t=5,
             npatches_x=npx, npatches_t=npx, npatches_tagg=min(npx, 20),
-            dista_lambda=lam, beta_x=bx, beta_t=bt,
+            dista_lambda=lam if respect_lambda else 1.0,
+            beta_x=bx, beta_t=bt,
         )
         p2 = default_params(sigma, FilterMode.FLT2)
         ps = default_params(sigma, FilterMode.SMO1)
         r = evaluate(clean_seqs, sigma, base, p2, ps,
                      first_frame=first_frame, smoothing=smoothing,
-                     fixtures=fixtures)
+                     fixtures=fixtures, dynamic=dynamic)
         results.append(r)
         if table_path:
             with open(table_path, "a") as fh:

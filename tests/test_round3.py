@@ -277,3 +277,65 @@ class TestTrainingFixtures:
             first_frame=0, border=4, fixtures=[fx],
         )
         assert np.isfinite(r.mse["flt2"]) and r.mse["flt2"] < 400.0
+
+
+class TestDynamicParams:
+    """Traced group-size/beta scalars == the statically-compiled kernels
+    (the training harness reuses ONE compiled kernel across all trials)."""
+
+    def test_v2_dyn_equals_static(self, rng):
+        from bwd_nlkalman_tpu.core.engine import dense_pass_v2
+        from bwd_nlkalman_tpu.params import NLKParams
+        from bwd_nlkalman_tpu.train.search import _dyn_split
+
+        h, w = 24, 28
+        cur = jnp.asarray(rng.uniform(0, 255, (h, w, 1)).astype(np.float32))
+        prev = cur + 4 * jnp.asarray(rng.standard_normal((h, w, 1)).astype(np.float32))
+        valid = jnp.ones((h, w), bool)
+        p = NLKParams(patch_sz=4, search_sz_x=3, search_sz_t=2,
+                      npatches_x=8, npatches_t=6, npatches_tagg=4,
+                      dista_lambda=1.0, beta_x=2.5, beta_t=1.5)
+        key, dyn = _dyn_split(p)
+        a = dense_pass_v2(cur, prev, valid, cur, 10.0, p, "filter", True, False)
+        b = dense_pass_v2(cur, prev, valid, cur, 10.0, key, "filter", True,
+                          False, dyn=dyn)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_pallas_dyn_equals_static(self, rng):
+        from bwd_nlkalman_tpu.core.engine_pallas import dense_pass_pallas
+        from bwd_nlkalman_tpu.params import NLKParams
+        from bwd_nlkalman_tpu.train.search import _dyn_split
+
+        h, w = 24, 28
+        cur = jnp.asarray(rng.uniform(0, 255, (h, w, 1)).astype(np.float32))
+        prev = cur + 4 * jnp.asarray(rng.standard_normal((h, w, 1)).astype(np.float32))
+        valid = jnp.ones((h, w), bool)
+        p = NLKParams(patch_sz=4, search_sz_x=3, search_sz_t=2,
+                      npatches_x=8, npatches_t=6, npatches_tagg=4,
+                      dista_lambda=1.0, beta_x=2.5, beta_t=1.5)
+        key, dyn = _dyn_split(p)
+        a = dense_pass_pallas(cur, prev, valid, cur, 10.0, p, "filter",
+                              True, False, interpret=True)
+        b = dense_pass_pallas(cur, prev, valid, cur, 10.0, key, "filter",
+                              True, False, interpret=True, dyn=dyn)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    def test_dynamic_search_no_recompile(self, rng, tmp_path):
+        """Two dynamic trials with different group sizes produce the same
+        results as two static trials, via the fixtures path."""
+        from bwd_nlkalman_tpu.train import cached_fixtures, evaluate
+        from bwd_nlkalman_tpu.params import NLKParams, FilterMode, default_params
+
+        clean = _scene(3, 24, 32, 1, rng)
+        fx = cached_fixtures(str(tmp_path), "dyn", clean, 20.0, [0, 1, 2])
+        p2 = default_params(20.0, FilterMode.FLT2)
+        ps = default_params(20.0, FilterMode.SMO1)
+        for npx in (6, 12):
+            p1 = NLKParams(patch_sz=8, search_sz_x=4, search_sz_t=3,
+                           npatches_x=npx, npatches_t=npx, npatches_tagg=4,
+                           dista_lambda=1.0, beta_x=3.0, beta_t=2.0)
+            r_dyn = evaluate([clean], 20.0, p1, p2, ps, first_frame=0,
+                             border=4, fixtures=[fx], dynamic=True)
+            r_sta = evaluate([clean], 20.0, p1, p2, ps, first_frame=0,
+                             border=4, fixtures=[fx], dynamic=False)
+            assert abs(r_dyn.mse["flt2"] - r_sta.mse["flt2"]) < 1e-3
