@@ -205,6 +205,13 @@ def _fused_pass_kernel(
         return (li >= lo_j) & (li <= hi_j)
 
     site_m = (li >= j_base) & (li < j_base + ns)
+    # column-strip ownership: only OWN site lanes aggregate (halo lanes
+    # are real local sites whose output the neighboring strip produces)
+    j_own_lo, j_own_hi = cfg["j_own"]
+    own_f32 = jnp.where(
+        (li >= j_base + j_own_lo) & (li < j_base + min(j_own_hi, ns)),
+        1.0, 0.0,
+    )
 
     @pl.when(sr == 0)
     def _init():
@@ -583,10 +590,10 @@ def _fused_pass_kernel(
                             m0sel.astype(f32) if has_prev
                             else jnp.zeros((1, c4p), f32)
                         )
-                    memw = mem_f * wgt
+                    memw = mem_f * wgt * own_f32
                     if smooth and oxi == rad:
                         center_f = (oyi == rad).astype(f32)
-                        memw = memw + pass_w * center_f
+                        memw = memw + pass_w * center_f * own_f32
 
                     @pl.when(jnp.max(memw) > 0.0)
                     def _():
@@ -701,7 +708,7 @@ def pallas_pass_supported(
     jax.jit,
     static_argnames=(
         "sigma", "prms", "mode", "has_prev", "has_basic", "return_accum",
-        "window_dtype", "interpret", "stage", "site_rows",
+        "window_dtype", "interpret", "stage", "site_rows", "site_lanes",
     ),
 )
 def dense_pass_pallas(
@@ -721,6 +728,7 @@ def dense_pass_pallas(
     site_rows: tuple | None = None,   # static (start, stop) local site rows
     qy_bounds: jnp.ndarray | None = None,  # (2,) valid local patch-row range
     dyn: dict | None = None,          # TRACED scalar overrides (training)
+    site_lanes: tuple | None = None,  # static (start, stop) own site lanes
 ):
     """Drop-in equivalent of engine.dense_pass_v2 built on the fused kernel."""
     if prms.dista_lambda != 1.0 or prms.dista_th > 0.0:
@@ -871,6 +879,7 @@ def dense_pass_pallas(
         sr_lo=0 if site_rows is None else site_rows[0],
         sr_hi=n_rows if site_rows is None else min(site_rows[1], n_rows),
         dyn=dyn is not None,
+        j_own=(0, ns) if site_lanes is None else site_lanes,
     )
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * n_scalar_ins
@@ -919,4 +928,80 @@ def dense_pass_pallas(
     covered = agg > 1e-6
     return jnp.where(
         covered[..., None], out / jnp.maximum(agg, 1e-6)[..., None], cur
+    )
+
+
+def strips_supported(h: int, w: int, ch: int, prms: NLKParams, mode: str,
+                     n_strips: int,
+                     budget_bytes: int = 100 * 1024 * 1024,
+                     window_dtype: str = "float32") -> bool:
+    """True when the fused kernel fits VMEM on width-w/n_strips column
+    strips (plus halos)."""
+    psz = prms.patch_sz
+    if psz % 2 or psz < 2 or n_strips < 2:
+        return False
+    step = psz // 2
+    rad = max(prms.search_sz_x, prms.search_sz_t) if mode == "filter" \
+        else prms.search_sz_t
+    ww = w - psz + 1
+    if ww < 1 or h - psz + 1 < 1:
+        return False
+    ns = (ww - 1) // step + 1
+    halo_px = _cdiv(rad, step) * step
+    j1 = _cdiv(ns, n_strips)
+    strip_w = min(w, step * (j1 - 1) + psz + 2 * halo_px)
+    return pallas_pass_supported(h, strip_w, ch, prms, mode, budget_bytes,
+                                 window_dtype)
+
+
+def dense_pass_pallas_xstrips(
+    cur, prev, prev_valid, basic, sigma, prms, mode, has_prev, has_basic,
+    n_strips: int = 2,
+    return_accum: bool = False,
+    window_dtype: str = "float32",
+    interpret: bool = False,
+    dyn: dict | None = None,
+):
+    """The fused pass over column strips with halo overlap-add.
+
+    When the full-width VMEM plan exceeds the budget (1080p RGB), the
+    frame is split into ``n_strips`` column strips; each strip is a
+    normal fused-kernel pass whose sub-image carries a ``rad``-aligned
+    pixel halo (the candidate support of its own sites), with
+    aggregation restricted to OWN site lanes (site_lanes) — the strips'
+    pre-normalization accumulators then overlap-add exactly like the
+    row-sharded path's halo fold.
+    """
+    h, w, ch = cur.shape
+    psz = prms.patch_sz
+    step = psz // 2
+    rad = max(prms.search_sz_x, prms.search_sz_t) if mode == "filter" \
+        else prms.search_sz_t
+    ww = w - psz + 1
+    ns = (ww - 1) // step + 1
+    halo_px = _cdiv(rad, step) * step
+    bounds = [round(i * ns / n_strips) for i in range(n_strips + 1)]
+
+    out_acc = jnp.zeros((h, w, ch), jnp.float32)
+    agg_acc = jnp.zeros((h, w), jnp.float32)
+    for i in range(n_strips):
+        j0, j1 = bounds[i], bounds[i + 1]
+        px0 = max(0, step * j0 - halo_px)
+        px1 = min(w, step * (j1 - 1) + psz + halo_px)
+        sl = (slice(None), slice(px0, px1))
+        o, a = dense_pass_pallas(
+            cur[sl], prev[sl], prev_valid[sl], basic[sl], sigma, prms,
+            mode, has_prev, has_basic, return_accum=True,
+            window_dtype=window_dtype, interpret=interpret, dyn=dyn,
+            site_lanes=(j0 - px0 // step, j1 - px0 // step),
+        )
+        out_acc = out_acc.at[:, px0:px1].add(o)
+        agg_acc = agg_acc.at[:, px0:px1].add(a)
+
+    if return_accum:
+        return out_acc, agg_acc
+    covered = agg_acc > 1e-6
+    return jnp.where(
+        covered[..., None],
+        out_acc / jnp.maximum(agg_acc, 1e-6)[..., None], cur,
     )

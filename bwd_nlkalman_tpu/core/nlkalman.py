@@ -390,21 +390,26 @@ def _pick_engine(engine: str, h: int, w: int, ch: int,
     """
     import os
 
-    if engine in ("v1", "v2", "pallas"):
+    if engine != "auto" and engine.startswith(("v1", "v2", "pallas")):
         return engine
     env = os.environ.get("BNLK_ENGINE", "auto")
-    if env in ("v1", "v2", "pallas"):
+    if env != "auto" and env.startswith(("v1", "v2", "pallas")):
         return env
     try:
         backend = jax.default_backend()
     except Exception:  # pragma: no cover - no backend at all
         backend = "cpu"
     if backend == "tpu":
-        from .engine_pallas import pallas_pass_supported
+        from .engine_pallas import pallas_pass_supported, strips_supported
 
         wdt = os.environ.get("BNLK_WINDOW_DTYPE", "float32")
         if pallas_pass_supported(h, w, ch, prms, mode, window_dtype=wdt):
             return "pallas"
+        # full width exceeds the VMEM budget (e.g. 1080p RGB): column
+        # strips with halo overlap-add
+        for n in (2, 3, 4):
+            if strips_supported(h, w, ch, prms, mode, n, window_dtype=wdt):
+                return f"pallas-strips{n}"
     return "v2"
 
 
@@ -446,6 +451,16 @@ def nlkalman_filter_frame(
         return dense_pass_pallas(
             nisy, deno0, prev_valid, basic, float(sigma), prms, "filter",
             has_prev, has_basic,
+            window_dtype=os.environ.get("BNLK_WINDOW_DTYPE", "float32"),
+            dyn=dyn,
+        )
+    if engine.startswith("pallas-strips"):
+        import os
+        from .engine_pallas import dense_pass_pallas_xstrips
+
+        return dense_pass_pallas_xstrips(
+            nisy, deno0, prev_valid, basic, float(sigma), prms, "filter",
+            has_prev, has_basic, n_strips=int(engine[-1]),
             window_dtype=os.environ.get("BNLK_WINDOW_DTYPE", "float32"),
             dyn=dyn,
         )
@@ -503,6 +518,16 @@ def nlkalman_smooth_frame(
         return dense_pass_pallas(
             filt1, smoo0, prev_valid, basic, float(sigma), prms, "smooth",
             has_prev, has_basic,
+            window_dtype=os.environ.get("BNLK_WINDOW_DTYPE", "float32"),
+            dyn=dyn,
+        )
+    if engine.startswith("pallas-strips"):
+        import os
+        from .engine_pallas import dense_pass_pallas_xstrips
+
+        return dense_pass_pallas_xstrips(
+            filt1, smoo0, prev_valid, basic, float(sigma), prms, "smooth",
+            has_prev, has_basic, n_strips=int(engine[-1]),
             window_dtype=os.environ.get("BNLK_WINDOW_DTYPE", "float32"),
             dyn=dyn,
         )

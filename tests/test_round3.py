@@ -339,3 +339,45 @@ class TestDynamicParams:
             r_sta = evaluate([clean], 20.0, p1, p2, ps, first_frame=0,
                              border=4, fixtures=[fx], dynamic=False)
             assert abs(r_dyn.mse["flt2"] - r_sta.mse["flt2"]) < 1e-3
+
+
+class TestColumnStrips:
+    def test_strips_equal_full(self, rng):
+        """Column-strip fused pass (halo overlap-add, own-lane gating) ==
+        the full-width fused pass, interpret mode."""
+        from bwd_nlkalman_tpu.core.engine_pallas import (
+            dense_pass_pallas, dense_pass_pallas_xstrips)
+        from bwd_nlkalman_tpu.params import NLKParams
+
+        h, w = 24, 72
+        prms = NLKParams(patch_sz=4, search_sz_x=3, search_sz_t=2,
+                         npatches_x=8, npatches_t=6, npatches_tagg=4,
+                         dista_lambda=1.0, beta_x=3.0, beta_t=2.0)
+        cur = jnp.asarray(rng.uniform(0, 255, (h, w, 1)).astype(np.float32))
+        prev = cur + 4 * jnp.asarray(
+            rng.standard_normal((h, w, 1)).astype(np.float32))
+        valid = np.ones((h, w), bool)
+        valid[8:14, 30:50] = False
+        prev_z = jnp.where(jnp.asarray(valid)[..., None], prev, 0.0)
+
+        full = dense_pass_pallas(
+            cur, prev_z, jnp.asarray(valid), cur, 15.0, prms, "filter",
+            True, False, interpret=True)
+        for n in (2, 3):
+            strips = dense_pass_pallas_xstrips(
+                cur, prev_z, jnp.asarray(valid), cur, 15.0, prms, "filter",
+                True, False, n_strips=n, interpret=True)
+            np.testing.assert_allclose(
+                np.asarray(strips), np.asarray(full), rtol=1e-4, atol=2e-3)
+
+    def test_dispatch_names_strips(self):
+        from bwd_nlkalman_tpu.core.engine_pallas import strips_supported
+        from bwd_nlkalman_tpu.params import default_params, FilterMode
+
+        p = default_params(20.0, FilterMode.FLT1)
+        # 1080p RGB: full width exceeds the budget, 2 strips fit (bf16)
+        from bwd_nlkalman_tpu.core.engine_pallas import pallas_pass_supported
+        assert not pallas_pass_supported(1080, 1920, 3, p, "filter",
+                                         window_dtype="bfloat16")
+        assert strips_supported(1080, 1920, 3, p, "filter", 2,
+                                window_dtype="bfloat16")
