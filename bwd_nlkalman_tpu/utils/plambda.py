@@ -59,6 +59,11 @@ _UNOPS = {
     "ceil": np.ceil,
     "not": lambda a: (a == 0).astype(np.float32),
     "neg": np.negative,
+    "log10": np.log10,
+    "log2": np.log2,
+    "atan": np.arctan,
+    "asin": np.arcsin,
+    "acos": np.arccos,
 }
 
 _CONSTS = {"pi": math.pi, "e": math.e, "nan": math.nan, "inf": math.inf}
@@ -72,6 +77,16 @@ def _shift(img: np.ndarray, dx: int, dy: int) -> np.ndarray:
     rows = np.clip(np.arange(h) + dy, 0, h - 1)
     cols = np.clip(np.arange(w) + dx, 0, w - 1)
     return img[rows][:, cols]
+
+
+def plambda_calc(expr: str) -> float:
+    """The -c calculator mode (plambda.c main_calc): evaluate an RPN
+    expression with NO images and return the scalar result — the form
+    the eval scripts use for PSNR arithmetic, e.g.
+    plambda -c "255 $RMSE / log10 20 *" (scripts/psnr.sh,
+    nlkalman-train.sh:36-52)."""
+    out = plambda(expr, np.zeros((1, 1, 1), np.float32))
+    return float(np.asarray(out).ravel()[0])
 
 
 def plambda(expr: str, *images) -> np.ndarray:

@@ -104,3 +104,14 @@ def test_fsmo_lsmo_quality():
     lsm = lsmo_sequence(flt2, 20.0)
     plm = sequence_psnr(clean, np.asarray(lsm))["psnr"]
     assert plm >= p2 - 0.3
+
+
+def test_plambda_calc_mode():
+    """The -c calculator (plambda.c main_calc) used by psnr.sh and
+    nlkalman-train.sh:36-52 for PSNR arithmetic."""
+    import math
+    from bwd_nlkalman_tpu.utils.plambda import plambda_calc
+
+    assert abs(plambda_calc("255 12.5 / log10 20 *")
+               - 20 * math.log10(255 / 12.5)) < 1e-4
+    assert plambda_calc("3 4 2 ^ +") == 19.0
