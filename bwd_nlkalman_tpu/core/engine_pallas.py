@@ -359,34 +359,29 @@ def _fused_pass_kernel(
             cidx = ox + j_base * step
             return cidx % step, cidx // step - j_base       # phase, lane delta
 
-        def run_pred(oyi, oxi, row_ok):
-            # when every site is temporal, offsets outside rad_t are dead
-            if abs(oxi - rad) <= rad_t:
-                ir_oy = jnp.abs(oyi - rad) <= rad_t
-                return row_ok & (not_all_temp | ir_oy)
-            return row_ok & not_all_temp
-
-        def ir_scalar(oyi, oxi):
-            if abs(oxi - rad) <= rad_t:
-                return jnp.abs(oyi - rad) <= rad_t
-            return jnp.asarray(False)
-
         # ---- phase A: distances -> masked int32 bits ----
         bits_s[:] = jnp.full((n_off, c4p), _INF_BITS, jnp.int32)
         if has_prev:
             pbits_s[:] = jnp.full((n_off, c4p), _INF_BITS, jnp.int32)
 
+        # offsets split by temporal radius: per group the predicate is
+        # uniform, so ONE pl.when wraps each group (21 predicated regions
+        # -> 2; the per-offset bits writes are tiny)
+        oxis_inner_a = [x for x in range(n_off1) if abs(x - rad) <= rad_t]
+        oxis_outer_a = [x for x in range(n_off1) if abs(x - rad) > rad_t]
+
         def phase_a(oyi, carry):
             qy = step * sr + (oyi - rad)
             row_ok = (qy >= qy_lo) & (qy < qy_hi)
-            for oxi in range(n_off1):
-                @pl.when(run_pred(oyi, oxi, row_ok))
-                def _(oyi=oyi, oxi=oxi):
+            ir_oy = jnp.abs(oyi - rad) <= rad_t
+
+            def group(oxis, ir):
+                for oxi in oxis:
                     p, delta = off_geom(oyi, oxi)
                     a = _roll(band_x[bslot(oyi), p], -delta, interpret).astype(f32)
                     d = a - xp
                     dist = jnp.sum(d * d, axis=0, keepdims=True) * inv_f
-                    cand = off_candidates(oyi, oxi, ir_scalar(oyi, oxi))
+                    cand = off_candidates(oyi, oxi, ir)
                     b = jnp.where(
                         cand, jax.lax.bitcast_convert_type(dist, jnp.int32),
                         inf_b,
@@ -400,6 +395,15 @@ def _fused_pass_kernel(
                         ).astype(f32) > 0.5
                         prevc = cand & wv & prev_p
                         pbits_s[pl.ds(o, 1)] = jnp.where(prevc, b, inf_b)
+
+            @pl.when(row_ok & (not_all_temp | ir_oy))
+            def _():
+                group(oxis_inner_a, ir_oy)
+
+            if oxis_outer_a:
+                @pl.when(row_ok & not_all_temp)
+                def _():
+                    group(oxis_outer_a, jnp.asarray(False))
             return carry
 
         jax.lax.fori_loop(0, n_off1, phase_a, 0)
@@ -457,23 +461,43 @@ def _fused_pass_kernel(
             acc_m0[:] = jnp.zeros_like(acc_m0)
         nrows_s[:] = jnp.zeros_like(nrows_s)
 
+        # oxi offsets split by temporal radius: within each group the
+        # per-offset predicate run_pred(oyi, oxi, row_ok) is UNIFORM, so
+        # one pl.when wraps the whole group and the statistics accumulate
+        # across the unrolled oxi loop in VALUES — one VMEM
+        # read-modify-write per accumulator per group instead of per
+        # offset (the acc planes are (F, C4p); at 21 offsets/row the RMW
+        # traffic dominated the phase)
+        oxis_inner = [x for x in range(n_off1) if abs(x - rad) <= rad_t]
+        oxis_outer = [x for x in range(n_off1) if abs(x - rad) > rad_t]
+
         def phase_c(oyi, carry):
             qy = step * sr + (oyi - rad)
             row_ok = (qy >= qy_lo) & (qy < qy_hi)
-            for oxi in range(n_off1):
-                @pl.when(run_pred(oyi, oxi, row_ok))
-                def _(oyi=oyi, oxi=oxi):
+            ir_oy = jnp.abs(oyi - rad) <= rad_t
+
+            def group(oxis, ir):
+                l_m1c = jnp.zeros((f, c4p), f32)
+                l_e2 = jnp.zeros((f, c4p), f32)
+                l_np1 = jnp.zeros((1, c4p), f32)
+                if has_prev:
+                    l_m0v = jnp.zeros((f, c4p), f32)
+                    l_e0 = jnp.zeros((f, c4p), f32)
+                    l_v01 = jnp.zeros((f, c4p), f32)
+                    l_m0 = jnp.zeros((f, c4p), f32)
+                    l_np0 = jnp.zeros((1, c4p), f32)
+                for oxi in oxis:
                     p, delta = off_geom(oyi, oxi)
                     o = oyi * n_off1 + oxi
                     b = bits_s[pl.ds(o, 1)]
-                    cand = off_candidates(oyi, oxi, ir_scalar(oyi, oxi))
+                    cand = off_candidates(oyi, oxi, ir)
                     sel1 = cand & (b <= th1)
                     s1f = sel1.astype(f32)
                     a = _roll(band_x[bslot(oyi), p], -delta, interpret).astype(f32)
                     wc = a - xp
-                    acc_m1c[:] += s1f * wc
-                    acc_e2[:] += s1f * (wc * wc)
-                    nrows_s[0:1] += s1f
+                    l_m1c += s1f * wc
+                    l_e2 += s1f * (wc * wc)
+                    l_np1 += s1f
                     if has_prev:
                         dall = _roll(band_d[bslot(oyi), p], -delta, interpret).astype(f32)
                         wv = dall[f : f + 1, :] > 0.5
@@ -481,13 +505,31 @@ def _fused_pass_kernel(
                         spc = sel1 & wv & prev_p
                         spf = spc.astype(f32)
                         wdc = dq - xp
-                        acc_m0v[:] += spf * wdc
-                        acc_e0[:] += spf * (wdc * wdc)
+                        l_m0v += spf * wdc
+                        l_e0 += spf * (wdc * wdc)
                         dxw = dq - a
-                        acc_v01[:] += spf * (dxw * dxw)
+                        l_v01 += spf * (dxw * dxw)
                         m0m = (spc & (b <= thp)).astype(f32)
-                        acc_m0[:] += m0m * dq
-                        nrows_s[1:2] += spf
+                        l_m0 += m0m * dq
+                        l_np0 += spf
+                acc_m1c[:] += l_m1c
+                acc_e2[:] += l_e2
+                nrows_s[0:1] += l_np1
+                if has_prev:
+                    acc_m0v[:] += l_m0v
+                    acc_e0[:] += l_e0
+                    acc_v01[:] += l_v01
+                    acc_m0[:] += l_m0
+                    nrows_s[1:2] += l_np0
+
+            @pl.when(row_ok & (not_all_temp | ir_oy))
+            def _():
+                group(oxis_inner, ir_oy)
+
+            if oxis_outer:
+                @pl.when(row_ok & not_all_temp)
+                def _():
+                    group(oxis_outer, jnp.asarray(False))
             return carry
 
         jax.lax.fori_loop(0, n_off1, phase_c, 0)
@@ -556,17 +598,26 @@ def _fused_pass_kernel(
         bwspec = jnp.concatenate(parts, axis=0)               # (fw_pad, C4p)
 
         # ---- phase E: aggregate member weights into the plane buffer ----
+        # Same inner/outer grouping as phase C (uniform predicate per
+        # group); contributions accumulate in VALUES per target phase p
+        # (a Python int — off_geom of a static oxi), so each (slot, p)
+        # plane takes ONE read-modify-write per group instead of one per
+        # offset.  The old per-offset jnp.max(memw) > 0 skip is dropped:
+        # with sites across the whole row in lanes, an offset almost
+        # always has at least one member lane, so the guard never paid.
         def phase_e(oyi, carry):
             qy = step * sr + (oyi - rad)
             row_ok = (qy >= qy_lo) & (qy < qy_hi)
             slot = jnp.mod(step * sr + oyi, ah)
-            for oxi in range(n_off1):
-                @pl.when(run_pred(oyi, oxi, row_ok))
-                def _(oyi=oyi, oxi=oxi, slot=slot):
+            ir_oy = jnp.abs(oyi - rad) <= rad_t
+
+            def group(oxis, ir):
+                l_g, l_bw, l_gd = {}, {}, {}
+                for oxi in oxis:
                     p, delta = off_geom(oyi, oxi)
                     o = oyi * n_off1 + oxi
                     b = bits_s[pl.ds(o, 1)]
-                    cand = off_candidates(oyi, oxi, ir_scalar(oyi, oxi))
+                    cand = off_candidates(oyi, oxi, ir)
                     sel1 = cand & (b <= th1)
                     if has_prev:
                         wv = _roll(
@@ -594,16 +645,27 @@ def _fused_pass_kernel(
                     if smooth and oxi == rad:
                         center_f = (oyi == rad).astype(f32)
                         memw = memw + pass_w * center_f * own_f32
+                    gc = _roll(memw * gspec, delta, interpret)
+                    bwc = _roll(memw * bwspec, delta, interpret)
+                    l_g[p] = l_g.get(p, 0.0) + gc
+                    l_bw[p] = l_bw.get(p, 0.0) + bwc
+                    if smooth:
+                        gdc = _roll(memw * gdspec, delta, interpret)
+                        l_gd[p] = l_gd.get(p, 0.0) + gdc
+                for p in sorted(l_g):
+                    agg_g[slot, p] += l_g[p]
+                    agg_bw[slot, p] += l_bw[p]
+                    if smooth:
+                        agg_gd[slot, p] += l_gd[p]
 
-                    @pl.when(jnp.max(memw) > 0.0)
-                    def _():
-                        gc = _roll(memw * gspec, delta, interpret)
-                        agg_g[slot, p] += gc
-                        bwc = _roll(memw * bwspec, delta, interpret)
-                        agg_bw[slot, p] += bwc
-                        if smooth:
-                            gdc = _roll(memw * gdspec, delta, interpret)
-                            agg_gd[slot, p] += gdc
+            @pl.when(row_ok & (not_all_temp | ir_oy))
+            def _():
+                group(oxis_inner, ir_oy)
+
+            if oxis_outer:
+                @pl.when(row_ok & not_all_temp)
+                def _():
+                    group(oxis_outer, jnp.asarray(False))
             return carry
 
         jax.lax.fori_loop(0, n_off1, phase_e, 0)
