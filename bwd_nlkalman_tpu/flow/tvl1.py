@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import jax
 import jax.numpy as jnp
@@ -236,10 +237,16 @@ def tvl1_flow(
                 # dominant fixed cost when planes are tiny, and running a
                 # few iterations past the stopping point only brings the
                 # iterate closer to the fixed point.
-                k_check = 8 if a.shape[0] * a.shape[1] > 200_000 else 24
+                npx = a.shape[0] * a.shape[1]
+                k_check = int(os.environ.get(
+                    "BNLK_TVL1_KC_FINE" if npx > 200_000
+                    else "BNLK_TVL1_KC_COARSE",
+                    "8" if npx > 200_000 else "24"))
                 u = tvl1_single_scale_fused(
                     a, b, u, tau=tau, lambda_=lambda_, theta=theta,
                     nwarps=nwarps, epsilon=epsilon, k_check=k_check,
+                    state_dtype=os.environ.get(
+                        "BNLK_TVL1_STATE_DTYPE", "float32"),
                 )
             elif use_pallas:
                 u = tvl1_single_scale_pallas(

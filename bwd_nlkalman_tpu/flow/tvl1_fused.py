@@ -66,7 +66,7 @@ def _level_kernel(
     i0_ref, i1p_ref, u_ref, uout_ref,
     u1s, u2s, ps, cs, hwin,
     *, h, w, hp, ln, nwarps, tau, lambda_, theta, epsilon,
-    k_check, max_iters, interpret,
+    k_check, max_iters, sdt, interpret,
 ):
     f32 = jnp.float32
     i32 = jnp.int32
@@ -75,7 +75,7 @@ def _level_kernel(
 
     u1s[:] = u_ref[0]
     u2s[:] = u_ref[1]
-    ps[:] = jnp.zeros((4, hp, ln), f32)
+    ps[:] = jnp.zeros((4, hp, ln), sdt)
 
     gy = jax.lax.broadcasted_iota(i32, (hp, ln), 0)
     gx = jax.lax.broadcasted_iota(i32, (hp, ln), 1)
@@ -107,8 +107,8 @@ def _level_kernel(
 
         def blk_body(b, carry):
             r0 = b * 8
-            u1b = u1s[pl.ds(r0, 8), :]
-            u2b = u2s[pl.ds(r0, 8), :]
+            u1b = u1s[pl.ds(r0, 8), :].astype(f32)
+            u2b = u2s[pl.ds(r0, 8), :].astype(f32)
             lane = jax.lax.broadcasted_iota(i32, (8, ln), 1)
             rowi = jax.lax.broadcasted_iota(i32, (8, ln), 0) + r0
             inb32 = jnp.where((rowi < h) & (lane < w), 1.0, 0.0)
@@ -177,28 +177,43 @@ def _level_kernel(
 
             i1w, i1wx, i1wy = outs
             i0b = i0_ref[pl.ds(r0, 8), :]
+            grad = i1wx * i1wx + i1wy * i1wy
+            # store the GUARDED NEGATIVE RECIPROCAL of |grad I1w|^2: the
+            # iteration's three-branch threshold step collapses to
+            # fi = clip(rho * nig, -l_t, l_t) (exact: at the branch
+            # boundaries rho = -+l_t*grad the clamp and the C branches
+            # coincide), killing the per-iteration divide/compares/selects
             cs[0, pl.ds(r0, 8)] = i1wx
             cs[1, pl.ds(r0, 8)] = i1wy
-            cs[2, pl.ds(r0, 8)] = i1wx * i1wx + i1wy * i1wy
+            cs[2, pl.ds(r0, 8)] = jnp.where(
+                grad < GRAD_IS_ZERO, 0.0, -1.0 / jnp.maximum(grad, GRAD_IS_ZERO)
+            )
             cs[3, pl.ds(r0, 8)] = i1w - i1wx * u1b - i1wy * u2b - i0b
             return carry
 
         jax.lax.fori_loop(0, nblk, blk_body, 0)
 
     # ---------------- primal-dual iteration ----------------
-    def one_iter(u1, u2, p11, p12, p21, p22, i1wx, i1wy, grad, rho_c):
-        rho = rho_c + i1wx * u1 + i1wy * u2
-        fi = jnp.where(
-            grad < GRAD_IS_ZERO, 0.0, -rho / jnp.maximum(grad, GRAD_IS_ZERO)
+    # Only the DUAL planes p are stored in ``sdt`` (bf16 trims the
+    # VMEM traffic that bounds the fine-level iterations ~1.2x): p
+    # feeds u only through theta*div(p), so its quantization (~ulp
+    # 0.004 at |p|<=1) perturbs the flow by ~1e-3 px.  u must stay f32
+    # (rho = rho_c + gx*u amplifies u's ulp by image-scale gradients)
+    # and rho_c carries image-scale values, so the warp constants stay
+    # f32 too.  All arithmetic runs in f32.
+    def one_iter(u1, u2, p11, p12, p21, p22, i1wx, i1wy, nig, rho_c):
+        u1, u2, p11, p12, p21, p22, i1wx, i1wy, nig, rho_c = (
+            x.astype(f32)
+            for x in (u1, u2, p11, p12, p21, p22, i1wx, i1wy, nig, rho_c)
         )
-        lo_m = rho < -l_t * grad
-        hi_m = rho > l_t * grad
-        d1 = jnp.where(lo_m, l_t * i1wx,
-                       jnp.where(hi_m, -l_t * i1wx, fi * i1wx))
-        d2 = jnp.where(lo_m, l_t * i1wy,
-                       jnp.where(hi_m, -l_t * i1wy, fi * i1wy))
-        v1 = u1 + d1
-        v2 = u2 + d2
+        rho = rho_c + i1wx * u1 + i1wy * u2
+        # clamp form of the TV-L1 threshold step (tvl1flow_lib.c:195-217):
+        # nig = -1/grad precomputed per warp stage; deviation only where
+        # grad < GRAD_IS_ZERO and rho != 0 (there |i1wx| < 1e-5 so the C
+        # branch value l_t*i1wx < 5e-7 ~ the clamp's 0)
+        fi = jnp.clip(rho * nig, -l_t, l_t)
+        v1 = u1 + fi * i1wx
+        v2 = u2 + fi * i1wy
 
         def div(pa, pb):
             ax = jnp.where(
@@ -223,14 +238,14 @@ def _level_kernel(
         u2x, u2y = fgrad(u2n)
         g1 = jnp.sqrt(u1x * u1x + u1y * u1y)
         g2 = jnp.sqrt(u2x * u2x + u2y * u2y)
-        ng1 = 1.0 + taut * g1
-        ng2 = 1.0 + taut * g2
+        r1 = 1.0 / (1.0 + taut * g1)
+        r2 = 1.0 / (1.0 + taut * g2)
         return (
             u1n, u2n,
-            (p11 + taut * u1x) / ng1,
-            (p12 + taut * u1y) / ng1,
-            (p21 + taut * u2x) / ng2,
-            (p22 + taut * u2y) / ng2,
+            (p11 + taut * u1x) * r1,
+            (p12 + taut * u1y) * r1,
+            (p21 + taut * u2x) * r2,
+            (p22 + taut * u2y) * r2,
         )
 
     # warp stages and iterations as DEVICE loops (fori/while), not Python
@@ -240,42 +255,47 @@ def _level_kernel(
     def warp_stage(_w, carry):
         do_warp()
         i1wx, i1wy = cs[0], cs[1]
-        grad, rho_c = cs[2], cs[3]
+        nig, rho_c = cs[2], cs[3]
 
+        # the state planes ride the while CARRY: flushing them to the
+        # named scratches once per ROUND added 6 plane copies per
+        # k_check iterations; now they flush once per warp stage (only
+        # do_warp's row slices need u in a scratch ref)
         def cond(c):
-            err, n = c
-            return (err > epsilon * epsilon) & (n < max_iters)
+            return (c[0] > epsilon * epsilon) & (c[1] < max_iters)
 
         def body(c):
-            _, n = c
-            u1 = u1s[:]
-            u2 = u2s[:]
-            p11, p12, p21, p22 = ps[0], ps[1], ps[2], ps[3]
+            _, n, u1, u2, p11, p12, p21, p22 = c
 
             def iter_body(_j, st):
-                return one_iter(*st, i1wx, i1wy, grad, rho_c)
+                o = one_iter(*st, i1wx, i1wy, nig, rho_c)
+                return o[:2] + tuple(x.astype(sdt) for x in o[2:])
 
             u1, u2, p11, p12, p21, p22 = jax.lax.fori_loop(
                 0, k_check - 1, iter_body, (u1, u2, p11, p12, p21, p22)
             )
             u1p, u2p = u1, u2
             u1, u2, p11, p12, p21, p22 = one_iter(
-                u1, u2, p11, p12, p21, p22, i1wx, i1wy, grad, rho_c
+                u1, u2, p11, p12, p21, p22, i1wx, i1wy, nig, rho_c
             )
             du1 = jnp.where(inframe, u1 - u1p, 0.0)
             du2 = jnp.where(inframe, u2 - u2p, 0.0)
             err = (jnp.sum(du1 * du1) + jnp.sum(du2 * du2)) / (h * w)
-            u1s[:] = u1
-            u2s[:] = u2
-            ps[0] = p11
-            ps[1] = p12
-            ps[2] = p21
-            ps[3] = p22
-            return err, n + k_check
+            return (err, n + k_check, u1, u2,
+                    p11.astype(sdt), p12.astype(sdt),
+                    p21.astype(sdt), p22.astype(sdt))
 
-        jax.lax.while_loop(
-            cond, body, (jnp.asarray(jnp.inf, f32), jnp.asarray(0, i32))
+        out = jax.lax.while_loop(
+            cond, body,
+            (jnp.asarray(jnp.inf, f32), jnp.asarray(0, i32),
+             u1s[:], u2s[:], ps[0], ps[1], ps[2], ps[3]),
         )
+        u1s[:] = out[2]
+        u2s[:] = out[3]
+        ps[0] = out[4]
+        ps[1] = out[5]
+        ps[2] = out[6]
+        ps[3] = out[7]
         return carry
 
     jax.lax.fori_loop(0, nwarps, warp_stage, 0)
@@ -300,7 +320,7 @@ def fused_level_supported(h: int, w: int,
 @functools.partial(
     jax.jit,
     static_argnames=("tau", "lambda_", "theta", "nwarps", "epsilon",
-                     "k_check", "max_iters", "interpret"),
+                     "k_check", "max_iters", "state_dtype", "interpret"),
 )
 def tvl1_single_scale_fused(
     i0: jnp.ndarray,
@@ -313,6 +333,7 @@ def tvl1_single_scale_fused(
     epsilon: float = 0.01,
     k_check: int = 8,
     max_iters: int = 300,
+    state_dtype: str = "float32",
     interpret: bool = False,
 ):
     """Drop-in single-scale TV-L1 solve, whole level in one kernel.
@@ -335,10 +356,11 @@ def tvl1_single_scale_fused(
         u_init.transpose(2, 0, 1), ((0, 0), (0, hp - h), (0, ln - w))
     ).astype(jnp.float32)
 
+    sdt = jnp.dtype(state_dtype)
     kern = functools.partial(
         _level_kernel, h=h, w=w, hp=hp, ln=ln, nwarps=nwarps,
         tau=tau, lambda_=lambda_, theta=theta, epsilon=epsilon,
-        k_check=k_check, max_iters=max_iters, interpret=interpret,
+        k_check=k_check, max_iters=max_iters, sdt=sdt, interpret=interpret,
     )
     uout = pl.pallas_call(
         kern,
@@ -352,7 +374,7 @@ def tvl1_single_scale_fused(
         scratch_shapes=[
             pltpu.VMEM((hp, ln), jnp.float32),
             pltpu.VMEM((hp, ln), jnp.float32),
-            pltpu.VMEM((4, hp, ln), jnp.float32),
+            pltpu.VMEM((4, hp, ln), sdt),
             pltpu.VMEM((4, hp, ln), jnp.float32),
             pltpu.VMEM((4, 4, 8, ln), jnp.float32),
         ],

@@ -1,7 +1,6 @@
-"""On-chip timing of the TV-L1 flow and its warp stage.
+"""On-chip TV-L1 flow profile: end-to-end vs per-level solve times.
 
-Usage: python tools/bench_flow.py [H W] (default 1080 1920; flow runs at
-fscale=1, i.e. half resolution).
+Usage: python tools/bench_flow.py [H W] (default 1080 1920, fscale=1).
 """
 
 import os
@@ -22,50 +21,79 @@ def sync(o):
     return np.asarray(jax.device_get(o.ravel()[:1]))
 
 
-def timeit(name, fn, reps=3):
-    t0 = time.perf_counter()
+def timeit(fn, reps=5):
     sync(fn())
-    compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     for _ in range(reps):
-        o = fn()
-    sync(o)
-    dt = (time.perf_counter() - t0) / reps * 1000
-    print(f"{name:34s}: {dt:8.1f} ms  (first {compile_s:.0f}s)", flush=True)
-    return dt
+        out = fn()
+    sync(out)
+    return (time.perf_counter() - t0) / reps * 1000
 
 
 def main():
-    from bwd_nlkalman_tpu.flow import tvl1_flow
-    from bwd_nlkalman_tpu.ops.warp import warp_bicubic_zero_multi
-    from bwd_nlkalman_tpu.ops.grad import centered_gradient
+    from bwd_nlkalman_tpu.flow.tvl1 import (
+        tvl1_flow, num_scales, _normalize_pair, zoom_size,
+    )
+    from bwd_nlkalman_tpu.flow.tvl1_fused import (
+        tvl1_single_scale_fused, fused_level_supported,
+    )
+    from bwd_nlkalman_tpu.ops.gaussian import gaussian_blur
+    from bwd_nlkalman_tpu.ops.zoom import zoom_out, zoom_in
 
     h = int(sys.argv[1]) if len(sys.argv) > 1 else 1080
     w = int(sys.argv[2]) if len(sys.argv) > 2 else 1920
+    sigma = 20.0
     rng = np.random.default_rng(0)
-    i0 = jnp.asarray(rng.uniform(0, 255, (h, w)).astype(np.float32))
-    i1 = jnp.asarray(np.roll(np.asarray(i0), (2, -3), (0, 1)))
+    base = rng.uniform(40, 215, (h + 8, w + 8)).astype(np.float32)
+    i0 = base[:h, :w] + sigma * rng.standard_normal((h, w)).astype(np.float32)
+    i1 = base[3:3 + h, 2:2 + w] + sigma * rng.standard_normal((h, w)).astype(np.float32)
+    i0 = jnp.asarray(i0)
+    i1 = jnp.asarray(i1)
 
-    flow_fn = jax.jit(lambda a, b: tvl1_flow(a, b, fscale=1))
-    timeit(f"tvl1_flow {h}x{w} fscale=1", lambda: flow_fn(i0, i1))
+    f = jax.jit(lambda a, b: tvl1_flow(a, b, fscale=1))
+    t = timeit(lambda: f(i0, i1))
+    print(f"tvl1_flow end-to-end {h}x{w} fscale=1: {t:.1f} ms", flush=True)
 
-    # warp stage at the finest computed scale (half res)
-    h2, w2 = h // 2, w // 2
-    a = jnp.asarray(rng.uniform(0, 255, (h2, w2)).astype(np.float32))
-    ax, ay = centered_gradient(a)
-    i1s = jnp.stack([a, ax, ay], axis=-1)
-    u = jnp.asarray(rng.uniform(-3, 3, (h2, w2)).astype(np.float32))
-    v = jnp.asarray(rng.uniform(-3, 3, (h2, w2)).astype(np.float32))
+    # per-level solves with realistic inputs (pyramid of the same pair)
+    ns = num_scales(w, h, 100, 0.5)
+    i0n, i1n = _normalize_pair(i0, i1)
+    i0n = gaussian_blur(i0n, 0.8)
+    i1n = gaussian_blur(i1n, 0.8)
+    pyr = [(i0n, i1n)]
+    sizes = [(w, h)]
+    for s in range(1, ns):
+        pw, ph = sizes[-1]
+        sizes.append(zoom_size(pw, ph, 0.5))
+        a, b = pyr[-1]
+        pyr.append((zoom_out(a, 0.5), zoom_out(b, 0.5)))
 
-    @jax.jit
-    def warp5(i1s, u, v):
-        out = 0.0
-        for k in range(5):
-            wrp = warp_bicubic_zero_multi(i1s, u + k * 0.01, v)
-            out = out + wrp
-        return out
+    prep = jax.jit(lambda a, b: tuple(x for p in pyr for x in p))
+    total_lvl = 0.0
+    u = jnp.zeros((sizes[-1][1], sizes[-1][0], 2), jnp.float32)
+    for s in range(ns - 1, 0, -1):
+        a, b = pyr[s]
+        hh, ww = a.shape
+        k_check = 8 if hh * ww > 200_000 else 24
+        fn = jax.jit(
+            lambda a=a, b=b, u=u: tvl1_single_scale_fused(
+                a, b, u, k_check=k_check)
+        )
+        t = timeit(fn)
+        total_lvl += t
+        u = fn()
+        print(f"  level {s}: {hh}x{ww} k_check={k_check}: {t:.2f} ms",
+              flush=True)
+        nw, nh = sizes[s - 1]
+        u = jnp.stack(
+            [zoom_in(u[..., 0], nw, nh), zoom_in(u[..., 1], nw, nh)],
+            axis=-1) * 2.0
 
-    timeit(f"5x warp_bicubic_zero_multi {h2}x{w2}", lambda: warp5(i1s, u, v))
+    # prologue glue: normalize + presmooth + pyramid build
+    g = jax.jit(lambda a, b: [
+        x for s in range(1, ns)
+        for x in (zoom_out(gaussian_blur(*_normalize_pair(a, b)[:1], 0.8), 0.5),)
+    ])
+    print(f"  sum of level solves: {total_lvl:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":
