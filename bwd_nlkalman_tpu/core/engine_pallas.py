@@ -208,10 +208,8 @@ def _fused_pass_kernel(
     # column-strip ownership: only OWN site lanes aggregate (halo lanes
     # are real local sites whose output the neighboring strip produces)
     j_own_lo, j_own_hi = cfg["j_own"]
-    own_f32 = jnp.where(
-        (li >= j_base + j_own_lo) & (li < j_base + min(j_own_hi, ns)),
-        1.0, 0.0,
-    )
+    own_m = (li >= j_base + j_own_lo) & (li < j_base + min(j_own_hi, ns))
+    own_f32 = jnp.where(own_m, 1.0, 0.0)
 
     @pl.when(sr == 0)
     def _init():
@@ -333,7 +331,27 @@ def _fused_pass_kernel(
         if has_prev:
             prev_p = band_d[bslot(rad), 0, f : f + 1, :].astype(f32) > 0.5
             if mode == "filter":
-                all_temp = jnp.all(prev_p | jnp.logical_not(site_m))
+                # the spatial-fallback (outer-offset) groups fire only
+                # when an OWN site lacks a valid temporal patch — halo
+                # lanes never aggregate, and with column strips this
+                # confines the frame-edge columns' always-invalid sites
+                # (bicubic footprint off-frame) to the edge strips
+                all_temp = jnp.all(prev_p | jnp.logical_not(site_m & own_m))
+                # per-128-lane-block spatial-fallback flags: the sites
+                # that need the outer offsets are typically a handful of
+                # frame-edge / occluded lanes, while the row-level
+                # predicate fires on EVERY row (the frame edge is in
+                # every row).  Phases A and C run the outer groups per
+                # active block only (full-width rolls stay shared; the
+                # arithmetic and accumulator RMW are vreg-aligned block
+                # slices).
+                spat_f = jnp.where(
+                    site_m & own_m & jnp.logical_not(prev_p), 1.0, 0.0
+                )
+                blk_need = [
+                    jnp.sum(spat_f[:, b * 128:(b + 1) * 128]) > 0.0
+                    for b in range(c4p // 128)
+                ]
             else:
                 all_temp = jnp.asarray(False)
         else:
@@ -370,40 +388,71 @@ def _fused_pass_kernel(
         oxis_inner_a = [x for x in range(n_off1) if abs(x - rad) <= rad_t]
         oxis_outer_a = [x for x in range(n_off1) if abs(x - rad) > rad_t]
 
+        blk_gate = (
+            mode == "filter" and has_prev and oxis_outer_a and c4p >= 256
+        )
+
         def phase_a(oyi, carry):
             qy = step * sr + (oyi - rad)
             row_ok = (qy >= qy_lo) & (qy < qy_hi)
             ir_oy = jnp.abs(oyi - rad) <= rad_t
 
-            def group(oxis, ir):
+            def group(oxis, ir, bsl=None):
+                # block mode: the (F, 128) distance arithmetic runs on
+                # one vreg block; the 1-row bits stores RMW the full row
+                # (Mosaic cannot store at a dynamic row + lane offset)
+                def row_rmw(ref, o, val):
+                    if bsl is None:
+                        ref[pl.ds(o, 1)] = val
+                        return
+                    old = ref[pl.ds(o, 1)]
+                    bi = bsl.start // 128
+                    parts = [
+                        val if k == bi else old[:, k * 128:(k + 1) * 128]
+                        for k in range(c4p // 128)
+                    ]
+                    ref[pl.ds(o, 1)] = jnp.concatenate(parts, axis=1)
+
                 for oxi in oxis:
                     p, delta = off_geom(oyi, oxi)
                     a = _roll(band_x[bslot(oyi), p], -delta, interpret).astype(f32)
-                    d = a - xp
-                    dist = jnp.sum(d * d, axis=0, keepdims=True) * inv_f
                     cand = off_candidates(oyi, oxi, ir)
+                    o = oyi * n_off1 + oxi
+                    if bsl is not None:
+                        a = a[:, bsl]
+                        cand = cand[:, bsl]
+                    d = a - (xp if bsl is None else xp[:, bsl])
+                    dist = jnp.sum(d * d, axis=0, keepdims=True) * inv_f
                     b = jnp.where(
                         cand, jax.lax.bitcast_convert_type(dist, jnp.int32),
                         inf_b,
                     )
-                    o = oyi * n_off1 + oxi
-                    bits_s[pl.ds(o, 1)] = b
+                    row_rmw(bits_s, o, b)
                     if has_prev:
                         wv = _roll(
                             band_d[bslot(oyi), p, f : f + 1, :], -delta,
                             interpret
                         ).astype(f32) > 0.5
-                        prevc = cand & wv & prev_p
-                        pbits_s[pl.ds(o, 1)] = jnp.where(prevc, b, inf_b)
+                        prevc = cand & (
+                            (wv & prev_p) if bsl is None
+                            else (wv[:, bsl] & prev_p[:, bsl])
+                        )
+                        row_rmw(pbits_s, o, jnp.where(prevc, b, inf_b))
 
             @pl.when(row_ok & (not_all_temp | ir_oy))
             def _():
                 group(oxis_inner_a, ir_oy)
 
-            if oxis_outer_a:
+            if oxis_outer_a and not blk_gate:
                 @pl.when(row_ok & not_all_temp)
                 def _():
                     group(oxis_outer_a, jnp.asarray(False))
+            elif oxis_outer_a:
+                for bi in range(c4p // 128):
+                    @pl.when(row_ok & blk_need[bi])
+                    def _(bi=bi):
+                        group(oxis_outer_a, jnp.asarray(False),
+                              bsl=slice(bi * 128, (bi + 1) * 128))
             return carry
 
         jax.lax.fori_loop(0, n_off1, phase_a, 0)
@@ -476,60 +525,80 @@ def _fused_pass_kernel(
             row_ok = (qy >= qy_lo) & (qy < qy_hi)
             ir_oy = jnp.abs(oyi - rad) <= rad_t
 
-            def group(oxis, ir):
-                l_m1c = jnp.zeros((f, c4p), f32)
-                l_e2 = jnp.zeros((f, c4p), f32)
-                l_np1 = jnp.zeros((1, c4p), f32)
+            def group(oxis, ir, bsl=None):
+                wdim = 128 if bsl is not None else c4p
+                l_m1c = jnp.zeros((f, wdim), f32)
+                l_e2 = jnp.zeros((f, wdim), f32)
+                l_np1 = jnp.zeros((1, wdim), f32)
                 if has_prev:
-                    l_m0v = jnp.zeros((f, c4p), f32)
-                    l_e0 = jnp.zeros((f, c4p), f32)
-                    l_v01 = jnp.zeros((f, c4p), f32)
-                    l_m0 = jnp.zeros((f, c4p), f32)
-                    l_np0 = jnp.zeros((1, c4p), f32)
+                    l_m0v = jnp.zeros((f, wdim), f32)
+                    l_e0 = jnp.zeros((f, wdim), f32)
+                    l_v01 = jnp.zeros((f, wdim), f32)
+                    l_m0 = jnp.zeros((f, wdim), f32)
+                    l_np0 = jnp.zeros((1, wdim), f32)
+                xp_b = xp if bsl is None else xp[:, bsl]
+                prev_b = prev_p if bsl is None else prev_p[:, bsl]
                 for oxi in oxis:
                     p, delta = off_geom(oyi, oxi)
                     o = oyi * n_off1 + oxi
                     b = bits_s[pl.ds(o, 1)]
                     cand = off_candidates(oyi, oxi, ir)
-                    sel1 = cand & (b <= th1)
-                    s1f = sel1.astype(f32)
                     a = _roll(band_x[bslot(oyi), p], -delta, interpret).astype(f32)
-                    wc = a - xp
+                    if bsl is not None:
+                        b = b[:, bsl]
+                        cand = cand[:, bsl]
+                        a = a[:, bsl]
+                    sel1 = cand & (b <= (th1 if bsl is None else th1[:, bsl]))
+                    s1f = sel1.astype(f32)
+                    wc = a - xp_b
                     l_m1c += s1f * wc
                     l_e2 += s1f * (wc * wc)
                     l_np1 += s1f
                     if has_prev:
                         dall = _roll(band_d[bslot(oyi), p], -delta, interpret).astype(f32)
+                        if bsl is not None:
+                            dall = dall[:, bsl]
                         wv = dall[f : f + 1, :] > 0.5
                         dq = dall[:f]
-                        spc = sel1 & wv & prev_p
+                        spc = sel1 & wv & prev_b
                         spf = spc.astype(f32)
-                        wdc = dq - xp
+                        wdc = dq - xp_b
                         l_m0v += spf * wdc
                         l_e0 += spf * (wdc * wdc)
                         dxw = dq - a
                         l_v01 += spf * (dxw * dxw)
-                        m0m = (spc & (b <= thp)).astype(f32)
+                        m0m = (spc & (b <= (thp if bsl is None
+                                            else thp[:, bsl]))).astype(f32)
                         l_m0 += m0m * dq
                         l_np0 += spf
-                acc_m1c[:] += l_m1c
-                acc_e2[:] += l_e2
-                nrows_s[0:1] += l_np1
+                if bsl is None:
+                    sl = slice(None)
+                else:
+                    sl = pl.ds(bsl.start, 128)
+                acc_m1c[:, sl] += l_m1c
+                acc_e2[:, sl] += l_e2
+                nrows_s[0:1, sl] += l_np1
                 if has_prev:
-                    acc_m0v[:] += l_m0v
-                    acc_e0[:] += l_e0
-                    acc_v01[:] += l_v01
-                    acc_m0[:] += l_m0
-                    nrows_s[1:2] += l_np0
+                    acc_m0v[:, sl] += l_m0v
+                    acc_e0[:, sl] += l_e0
+                    acc_v01[:, sl] += l_v01
+                    acc_m0[:, sl] += l_m0
+                    nrows_s[1:2, sl] += l_np0
 
             @pl.when(row_ok & (not_all_temp | ir_oy))
             def _():
                 group(oxis_inner, ir_oy)
 
-            if oxis_outer:
+            if oxis_outer and not blk_gate:
                 @pl.when(row_ok & not_all_temp)
                 def _():
                     group(oxis_outer, jnp.asarray(False))
+            elif oxis_outer:
+                for bi in range(c4p // 128):
+                    @pl.when(row_ok & blk_need[bi])
+                    def _(bi=bi):
+                        group(oxis_outer, jnp.asarray(False),
+                              bsl=slice(bi * 128, (bi + 1) * 128))
             return carry
 
         jax.lax.fori_loop(0, n_off1, phase_c, 0)

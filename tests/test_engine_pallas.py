@@ -68,6 +68,29 @@ def test_pallas_matches_v2(rng, mode, has_prev, has_basic, prms, ch):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-2)
 
 
+def test_pallas_matches_v2_wide_blockgate(rng):
+    """Width => c4p=256: exercises the per-128-lane-block gating of the
+    spatial-fallback (outer-offset) groups — frame-edge invalid sites in
+    one block, an occlusion blob in the other, most rows all-temporal."""
+    sigma = 20.0
+    h, w = 24, 560
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    clean = (100 + 60 * np.sin(0.07 * xx) + 50 * np.cos(0.13 * yy))[..., None]
+    clean = clean.astype(np.float32)
+    cur = clean + sigma * rng.standard_normal(clean.shape).astype(np.float32)
+    prev = clean + 2 * rng.standard_normal(clean.shape).astype(np.float32)
+    valid = np.ones((h, w), bool)
+    valid[:, :3] = False            # always-invalid frame edge (block 0)
+    valid[8:12, 400:420] = False    # occlusion blob (block 1)
+    prev = np.where(valid[..., None], prev, 0.0)
+
+    args = (jnp.asarray(cur), jnp.asarray(prev), jnp.asarray(valid),
+            jnp.asarray(cur), sigma, PRMS, "filter", True, False)
+    want = np.asarray(dense_pass_v2(*args))
+    got = np.asarray(dense_pass_pallas(*args, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-2)
+
+
 def test_supported_predicate():
     p = NLKParams(
         patch_sz=8, search_sz_x=10, search_sz_t=5,
