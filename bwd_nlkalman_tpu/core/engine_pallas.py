@@ -397,10 +397,12 @@ def _fused_pass_kernel(
             row_ok = (qy >= qy_lo) & (qy < qy_hi)
             ir_oy = jnp.abs(oyi - rad) <= rad_t
 
-            def group(oxis, ir, bsl=None):
+            def group(oxis, ir, bsl=None, outer=False):
                 # block mode: the (F, 128) distance arithmetic runs on
                 # one vreg block; the 1-row bits stores RMW the full row
-                # (Mosaic cannot store at a dynamic row + lane offset)
+                # (Mosaic cannot store at a dynamic row + lane offset).
+                # outer offsets: prevc = cand & wv & prev_p == 0 exactly
+                # (cand subsets ~prev_p), so pbits stays INF — skip it.
                 def row_rmw(ref, o, val):
                     if bsl is None:
                         ref[pl.ds(o, 1)] = val
@@ -428,7 +430,7 @@ def _fused_pass_kernel(
                         inf_b,
                     )
                     row_rmw(bits_s, o, b)
-                    if has_prev:
+                    if has_prev and not outer:
                         wv = _roll(
                             band_d[bslot(oyi), p, f : f + 1, :], -delta,
                             interpret
@@ -446,13 +448,14 @@ def _fused_pass_kernel(
             if oxis_outer_a and not blk_gate:
                 @pl.when(row_ok & not_all_temp)
                 def _():
-                    group(oxis_outer_a, jnp.asarray(False))
+                    group(oxis_outer_a, jnp.asarray(False), outer=True)
             elif oxis_outer_a:
                 for bi in range(c4p // 128):
                     @pl.when(row_ok & blk_need[bi])
                     def _(bi=bi):
                         group(oxis_outer_a, jnp.asarray(False),
-                              bsl=slice(bi * 128, (bi + 1) * 128))
+                              bsl=slice(bi * 128, (bi + 1) * 128),
+                              outer=True)
             return carry
 
         jax.lax.fori_loop(0, n_off1, phase_a, 0)
@@ -525,12 +528,17 @@ def _fused_pass_kernel(
             row_ok = (qy >= qy_lo) & (qy < qy_hi)
             ir_oy = jnp.abs(oyi - rad) <= rad_t
 
-            def group(oxis, ir, bsl=None):
+            def group(oxis, ir, bsl=None, outer=False):
+                # outer (spatial-fallback) offsets admit candidates only
+                # on ~prev_p lanes, so spc = sel1 & wv & prev_p == 0
+                # EXACTLY: the temporal statistics section contributes
+                # strict zeros there and is skipped statically
+                temp_stats = has_prev and not outer
                 wdim = 128 if bsl is not None else c4p
                 l_m1c = jnp.zeros((f, wdim), f32)
                 l_e2 = jnp.zeros((f, wdim), f32)
                 l_np1 = jnp.zeros((1, wdim), f32)
-                if has_prev:
+                if temp_stats:
                     l_m0v = jnp.zeros((f, wdim), f32)
                     l_e0 = jnp.zeros((f, wdim), f32)
                     l_v01 = jnp.zeros((f, wdim), f32)
@@ -554,7 +562,7 @@ def _fused_pass_kernel(
                     l_m1c += s1f * wc
                     l_e2 += s1f * (wc * wc)
                     l_np1 += s1f
-                    if has_prev:
+                    if temp_stats:
                         dall = _roll(band_d[bslot(oyi), p], -delta, interpret).astype(f32)
                         if bsl is not None:
                             dall = dall[:, bsl]
@@ -578,7 +586,7 @@ def _fused_pass_kernel(
                 acc_m1c[:, sl] += l_m1c
                 acc_e2[:, sl] += l_e2
                 nrows_s[0:1, sl] += l_np1
-                if has_prev:
+                if temp_stats:
                     acc_m0v[:, sl] += l_m0v
                     acc_e0[:, sl] += l_e0
                     acc_v01[:, sl] += l_v01
@@ -592,13 +600,14 @@ def _fused_pass_kernel(
             if oxis_outer and not blk_gate:
                 @pl.when(row_ok & not_all_temp)
                 def _():
-                    group(oxis_outer, jnp.asarray(False))
+                    group(oxis_outer, jnp.asarray(False), outer=True)
             elif oxis_outer:
                 for bi in range(c4p // 128):
                     @pl.when(row_ok & blk_need[bi])
                     def _(bi=bi):
                         group(oxis_outer, jnp.asarray(False),
-                              bsl=slice(bi * 128, (bi + 1) * 128))
+                              bsl=slice(bi * 128, (bi + 1) * 128),
+                              outer=True)
             return carry
 
         jax.lax.fori_loop(0, n_off1, phase_c, 0)
@@ -731,10 +740,34 @@ def _fused_pass_kernel(
             def _():
                 group(oxis_inner, ir_oy)
 
-            if oxis_outer:
+            if oxis_outer and not blk_gate:
                 @pl.when(row_ok & not_all_temp)
                 def _():
                     group(oxis_outer, jnp.asarray(False))
+            elif oxis_outer:
+                # outer offsets carry members only on the sparse
+                # spatial-mode lanes (cand & ~prev_p zeroes them
+                # elsewhere, so mem == memsp); most outer offsets have
+                # NO member in this row — gate each offset on its member
+                # count and RMW the agg planes directly (the group-level
+                # value accumulation pays only when every offset
+                # contributes)
+                @pl.when(row_ok & not_all_temp)
+                def _():
+                    for oxi in oxis_outer:
+                        p, delta = off_geom(oyi, oxi)
+                        o = oyi * n_off1 + oxi
+                        b = bits_s[pl.ds(o, 1)]
+                        cand = off_candidates(oyi, oxi, jnp.asarray(False))
+                        sel1 = cand & (b <= th1)
+                        memw = (sel1 & (b <= tha)).astype(f32) * wgt * own_f32
+
+                        @pl.when(jnp.sum(memw) > 0.0)
+                        def _(p=p, delta=delta, memw=memw):
+                            agg_g[slot, p] += _roll(
+                                memw * gspec, delta, interpret)
+                            agg_bw[slot, p] += _roll(
+                                memw * bwspec, delta, interpret)
             return carry
 
         jax.lax.fori_loop(0, n_off1, phase_e, 0)
