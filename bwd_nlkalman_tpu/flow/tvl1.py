@@ -54,7 +54,8 @@ def luma(img: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "tau", "lambda_", "theta", "nwarps", "epsilon", "check_every"))
+    "tau", "lambda_", "theta", "nwarps", "epsilon", "check_every",
+    "max_iters"))
 def tvl1_flow_single_scale(
     i0: jnp.ndarray,
     i1: jnp.ndarray,
@@ -65,6 +66,7 @@ def tvl1_flow_single_scale(
     nwarps: int = 5,
     epsilon: float = 0.01,
     check_every: int = 10,
+    max_iters: int = MAX_ITERATIONS,
 ) -> jnp.ndarray:
     """One-scale TV-L1 (Dual_TVL1_optic_flow, tvl1flow_lib.c:93-275).
 
@@ -96,7 +98,7 @@ def tvl1_flow_single_scale(
 
         def cond(state):
             _, _, _, err, n = state
-            return (err > epsilon * epsilon) & (n < MAX_ITERATIONS)
+            return (err > epsilon * epsilon) & (n < max_iters)
 
         def one_step(u1, u2, p):
             rho = rho_c + i1wx * u1 + i1wy * u2
@@ -191,6 +193,7 @@ def tvl1_flow(
     nwarps: int = 5,
     epsilon: float = 0.01,
     backend: str = "auto",
+    max_iters: int | None = None,
 ) -> jnp.ndarray:
     """Multiscale TV-L1 flow from i0 to i1 (both (H, W) or (H, W, C)).
 
@@ -199,6 +202,8 @@ def tvl1_flow(
     including fscale early stop with pure upsampling of the coarser flow.
     Returns (H, W, 2) float32.
     """
+    if max_iters is None:
+        max_iters = int(os.environ.get("BNLK_TVL1_MAXIT", str(MAX_ITERATIONS)))
     i0 = luma(jnp.asarray(i0, jnp.float32))
     i1 = luma(jnp.asarray(i1, jnp.float32))
     h, w = i0.shape
@@ -245,6 +250,7 @@ def tvl1_flow(
                 u = tvl1_single_scale_fused(
                     a, b, u, tau=tau, lambda_=lambda_, theta=theta,
                     nwarps=nwarps, epsilon=epsilon, k_check=k_check,
+                    max_iters=max_iters,
                     state_dtype=os.environ.get(
                         "BNLK_TVL1_STATE_DTYPE", "float32"),
                 )
@@ -252,11 +258,12 @@ def tvl1_flow(
                 u = tvl1_single_scale_pallas(
                     a, b, u, tau=tau, lambda_=lambda_, theta=theta,
                     nwarps=nwarps, epsilon=epsilon,
+                    max_iterations=max_iters,
                 )
             else:
                 u = tvl1_flow_single_scale(
                     a, b, u, tau=tau, lambda_=lambda_, theta=theta,
-                    nwarps=nwarps, epsilon=epsilon,
+                    nwarps=nwarps, epsilon=epsilon, max_iters=max_iters,
                 )
         if s == 0:
             break
@@ -269,6 +276,8 @@ def tvl1_flow(
 
 def flow_energy(i0, i1, flow, lambda_: float = 0.15) -> jnp.ndarray:
     """TV-L1 energy (energy_optic_flow, tvl1flow_lib.c:43-85) — test oracle."""
+    if max_iters is None:
+        max_iters = int(os.environ.get("BNLK_TVL1_MAXIT", str(MAX_ITERATIONS)))
     i0 = luma(jnp.asarray(i0, jnp.float32))
     i1 = luma(jnp.asarray(i1, jnp.float32))
     u1, u2 = flow[..., 0], flow[..., 1]

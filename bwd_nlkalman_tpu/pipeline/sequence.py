@@ -54,12 +54,15 @@ class FlowConfig:
     zfactor: float = 0.5
     nwarps: int = 5
     epsilon: float = 0.01
+    # None = the reference's MAX_ITERATIONS (300), or BNLK_TVL1_MAXIT env
+    max_iters: int | None = None
 
     def flow(self, i0, i1):
         return tvl1_flow(
             i0, i1, tau=self.tau, lambda_=self.lambda_, theta=self.theta,
             nscales=self.nscales, fscale=self.fscale, zfactor=self.zfactor,
             nwarps=self.nwarps, epsilon=self.epsilon,
+            max_iters=self.max_iters,
         )
 
 
