@@ -276,8 +276,6 @@ def tvl1_flow(
 
 def flow_energy(i0, i1, flow, lambda_: float = 0.15) -> jnp.ndarray:
     """TV-L1 energy (energy_optic_flow, tvl1flow_lib.c:43-85) — test oracle."""
-    if max_iters is None:
-        max_iters = int(os.environ.get("BNLK_TVL1_MAXIT", str(MAX_ITERATIONS)))
     i0 = luma(jnp.asarray(i0, jnp.float32))
     i1 = luma(jnp.asarray(i1, jnp.float32))
     u1, u2 = flow[..., 0], flow[..., 1]

@@ -39,16 +39,24 @@ class TestFusedFlowLevel:
         i1 = jnp.asarray(base[2 : 2 + h, 5 : 5 + w])
         u0 = jnp.zeros((h, w, 2), jnp.float32)
 
-        old_cap = T.MAX_ITERATIONS
-        try:
-            T.MAX_ITERATIONS = 32       # bound the interpret cost
-            ref = tvl1_flow_single_scale(i0, i1, u0, nwarps=2, check_every=8)
-        finally:
-            T.MAX_ITERATIONS = old_cap
+        # cap iterations to bound the interpret cost
+        ref = tvl1_flow_single_scale(
+            i0, i1, u0, nwarps=2, check_every=8, max_iters=32
+        )
         out = tvl1_single_scale_fused(
             i0, i1, u0, nwarps=2, k_check=8, max_iters=32, interpret=True
         )
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+        # single-iteration semantics must match to fp exactness (no
+        # chaotic threshold amplification at 1 step)
+        ref1 = tvl1_flow_single_scale(
+            i0, i1, u0, nwarps=1, check_every=1, max_iters=1
+        )
+        out1 = tvl1_single_scale_fused(
+            i0, i1, u0, nwarps=1, k_check=1, max_iters=1, interpret=True
+        )
+        np.testing.assert_allclose(np.asarray(out1), np.asarray(ref1), atol=1e-5)
 
     def test_supported_plan(self):
         from bwd_nlkalman_tpu.flow.tvl1_fused import fused_level_supported
