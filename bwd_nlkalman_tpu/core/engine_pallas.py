@@ -359,6 +359,37 @@ def _fused_pass_kernel(
             all_temp = jnp.asarray(False)
         not_all_temp = jnp.logical_not(all_temp)
 
+        # ---- packed bits layout: the (inner oy, inner ox) offsets live in
+        # rows [0, n_ii) so the common all-temporal bisection scans 121
+        # rows instead of the legacy interleaved (2*rad_t+1)*n_off1 slice;
+        # everything else packs behind (outer-oy rows first, then the
+        # inner-oy/outer-ox remainder).  pbits only ever holds non-INF
+        # data in the inner block, so it shrinks to n_ii rows (+1 scratch
+        # row that absorbs the outer-oy group's always-INF writes).
+        n_in1 = 2 * rad_t + 1
+        oy0 = rad - rad_t
+        n_ii = n_in1 * n_in1
+        n_out_x = n_off1 - n_in1
+        base_b = n_ii + n_out_x * n_off1          # inner-oy, outer-ox rows
+
+        def obit(oyi, oxi):
+            """Packed bits row of offset (oyi, oxi); oyi traced, oxi static."""
+            ir = (oyi >= oy0) & (oyi < oy0 + n_in1)
+            g = jnp.where(oyi < oy0, oyi, oyi - n_in1)
+            o_out = n_ii + g * n_off1 + oxi
+            if abs(oxi - rad) <= rad_t:
+                o_in = (oyi - oy0) * n_in1 + (oxi - oy0)
+            else:
+                r_ox = oxi - n_in1 if oxi > rad + rad_t else oxi
+                o_in = base_b + (oyi - oy0) * n_out_x + r_ox
+            return jnp.where(ir, o_in, o_out)
+
+        def opbit(oyi, oxi):
+            """pbits row: inner-block row, or the scratch row n_ii."""
+            ir = (oyi >= oy0) & (oyi < oy0 + n_in1)
+            o_in = (oyi - oy0) * n_in1 + (oxi - oy0)
+            return jnp.where(ir, o_in, n_ii)
+
         def off_candidates(oyi, oxi, ir_scalar):
             """cand mask for offset (oy, ox): bounds + temporal radius."""
             cand = cand_x_mask(oxi)
@@ -378,9 +409,17 @@ def _fused_pass_kernel(
             return cidx % step, cidx // step - j_base       # phase, lane delta
 
         # ---- phase A: distances -> masked int32 bits ----
-        bits_s[:] = jnp.full((n_off, c4p), _INF_BITS, jnp.int32)
+        # INF-prefill: the inner block always; the packed outer rows only
+        # when some site needs the spatial fallback (they are only read
+        # by the _full bisection, which runs on not_all_temp rows)
+        bits_s[pl.ds(0, n_ii)] = jnp.full((n_ii, c4p), _INF_BITS, jnp.int32)
+        if n_off > n_ii:
+            @pl.when(not_all_temp)
+            def _():
+                bits_s[pl.ds(n_ii, n_off - n_ii)] = jnp.full(
+                    (n_off - n_ii, c4p), _INF_BITS, jnp.int32)
         if has_prev:
-            pbits_s[:] = jnp.full((n_off, c4p), _INF_BITS, jnp.int32)
+            pbits_s[:] = jnp.full((n_ii + 1, c4p), _INF_BITS, jnp.int32)
 
         # offsets split by temporal radius: per group the predicate is
         # uniform, so ONE pl.when wraps each group (21 predicated regions
@@ -419,7 +458,7 @@ def _fused_pass_kernel(
                     p, delta = off_geom(oyi, oxi)
                     a = _roll(band_x[bslot(oyi), p], -delta, interpret).astype(f32)
                     cand = off_candidates(oyi, oxi, ir)
-                    o = oyi * n_off1 + oxi
+                    o = obit(oyi, oxi)
                     if bsl is not None:
                         a = a[:, bsl]
                         cand = cand[:, bsl]
@@ -439,7 +478,8 @@ def _fused_pass_kernel(
                             (wv & prev_p) if bsl is None
                             else (wv[:, bsl] & prev_p[:, bsl])
                         )
-                        row_rmw(pbits_s, o, jnp.where(prevc, b, inf_b))
+                        row_rmw(pbits_s, opbit(oyi, oxi),
+                                jnp.where(prevc, b, inf_b))
 
             @pl.when(row_ok & (not_all_temp | ir_oy))
             def _():
@@ -482,18 +522,17 @@ def _fused_pass_kernel(
             return jnp.where(k <= 0, -1, hi)
 
         if mode == "filter" and has_prev and rad_t < rad:
-            # all-temporal rows only have live bits in the inner oy band
-            i0 = (rad - rad_t) * n_off1
-            n_in = (2 * rad_t + 1) * n_off1
-
+            # all-temporal rows only have live bits in the packed inner
+            # block (the (2*rad_t+1)^2 leading rows); pbits' live rows are
+            # ALWAYS that block (row n_ii is the INF scratch row)
             def _inner():
-                bi = bits_s[pl.ds(i0, n_in)]
-                pbi = pbits_s[pl.ds(i0, n_in)]
+                bi = bits_s[pl.ds(0, n_ii)]
+                pbi = pbits_s[pl.ds(0, n_ii)]
                 return bisect(bi, k1), bisect(bi, k_agg), bisect(pbi, k_agg)
 
             def _full():
                 ba = bits_s[:]
-                pba = pbits_s[:]
+                pba = pbits_s[pl.ds(0, n_ii)]
                 return bisect(ba, k1), bisect(ba, k_agg), bisect(pba, k_agg)
 
             th1, tha, thp = jax.lax.cond(all_temp, _inner, _full)
@@ -501,7 +540,7 @@ def _fused_pass_kernel(
             ba = bits_s[:]
             th1 = bisect(ba, k1)
             tha = bisect(ba, k_agg)
-            thp = bisect(pbits_s[:], k_agg) if has_prev else tha
+            thp = bisect(pbits_s[pl.ds(0, n_ii)], k_agg) if has_prev else tha
 
         # ---- phase C: masked group statistics ----
         acc_m1c[:] = jnp.zeros_like(acc_m1c)
@@ -548,7 +587,7 @@ def _fused_pass_kernel(
                 prev_b = prev_p if bsl is None else prev_p[:, bsl]
                 for oxi in oxis:
                     p, delta = off_geom(oyi, oxi)
-                    o = oyi * n_off1 + oxi
+                    o = obit(oyi, oxi)
                     b = bits_s[pl.ds(o, 1)]
                     cand = off_candidates(oyi, oxi, ir)
                     a = _roll(band_x[bslot(oyi), p], -delta, interpret).astype(f32)
@@ -558,9 +597,13 @@ def _fused_pass_kernel(
                         a = a[:, bsl]
                     sel1 = cand & (b <= (th1 if bsl is None else th1[:, bsl]))
                     s1f = sel1.astype(f32)
+                    # product-reuse (FMA) forms: s1f/spf/m0m are exact 0/1
+                    # masks, so (s1f*wc)*wc == s1f*(wc*wc) bit-identically
+                    # while trading 2 full-plane ops per accumulator pair
                     wc = a - xp_b
-                    l_m1c += s1f * wc
-                    l_e2 += s1f * (wc * wc)
+                    t1 = s1f * wc
+                    l_m1c += t1
+                    l_e2 += t1 * wc
                     l_np1 += s1f
                     if temp_stats:
                         dall = _roll(band_d[bslot(oyi), p], -delta, interpret).astype(f32)
@@ -571,10 +614,11 @@ def _fused_pass_kernel(
                         spc = sel1 & wv & prev_b
                         spf = spc.astype(f32)
                         wdc = dq - xp_b
-                        l_m0v += spf * wdc
-                        l_e0 += spf * (wdc * wdc)
+                        t0 = spf * wdc
+                        l_m0v += t0
+                        l_e0 += t0 * wdc
                         dxw = dq - a
-                        l_v01 += spf * (dxw * dxw)
+                        l_v01 += (spf * dxw) * dxw
                         m0m = (spc & (b <= (thp if bsl is None
                                             else thp[:, bsl]))).astype(f32)
                         l_m0 += m0m * dq
@@ -683,6 +727,22 @@ def _fused_pass_kernel(
         # offset.  The old per-offset jnp.max(memw) > 0 skip is dropped:
         # with sites across the whole row in lanes, an offset almost
         # always has at least one member lane, so the guard never paid.
+        #
+        # Roll factorization: roll(memw * gspec, d) == roll(memw, d) *
+        # roll(gspec, d) exactly (lane rotation is a permutation), and
+        # gspec/bwspec/gdspec are CONSTANT across offsets while delta
+        # takes only a handful of static values — so the full-plane rolls
+        # are hoisted out of the offset loop (one (1, C4p) memw roll per
+        # offset remains)
+        group_oxis = list(oxis_inner)
+        if oxis_outer and not blk_gate:
+            group_oxis += oxis_outer     # non-block-gated outer uses group()
+        inner_deltas = sorted({off_geom(0, oxi)[1] for oxi in group_oxis})
+        rg_d = {d: _roll(gspec, d, interpret) for d in inner_deltas}
+        rbw_d = {d: _roll(bwspec, d, interpret) for d in inner_deltas}
+        if smooth:
+            rgd_d = {d: _roll(gdspec, d, interpret) for d in inner_deltas}
+
         def phase_e(oyi, carry):
             qy = step * sr + (oyi - rad)
             row_ok = (qy >= qy_lo) & (qy < qy_hi)
@@ -693,7 +753,7 @@ def _fused_pass_kernel(
                 l_g, l_bw, l_gd = {}, {}, {}
                 for oxi in oxis:
                     p, delta = off_geom(oyi, oxi)
-                    o = oyi * n_off1 + oxi
+                    o = obit(oyi, oxi)
                     b = bits_s[pl.ds(o, 1)]
                     cand = off_candidates(oyi, oxi, ir)
                     sel1 = cand & (b <= th1)
@@ -723,13 +783,11 @@ def _fused_pass_kernel(
                     if smooth and oxi == rad:
                         center_f = (oyi == rad).astype(f32)
                         memw = memw + pass_w * center_f * own_f32
-                    gc = _roll(memw * gspec, delta, interpret)
-                    bwc = _roll(memw * bwspec, delta, interpret)
-                    l_g[p] = l_g.get(p, 0.0) + gc
-                    l_bw[p] = l_bw.get(p, 0.0) + bwc
+                    mwr = _roll(memw, delta, interpret)
+                    l_g[p] = l_g.get(p, 0.0) + mwr * rg_d[delta]
+                    l_bw[p] = l_bw.get(p, 0.0) + mwr * rbw_d[delta]
                     if smooth:
-                        gdc = _roll(memw * gdspec, delta, interpret)
-                        l_gd[p] = l_gd.get(p, 0.0) + gdc
+                        l_gd[p] = l_gd.get(p, 0.0) + mwr * rgd_d[delta]
                 for p in sorted(l_g):
                     agg_g[slot, p] += l_g[p]
                     agg_bw[slot, p] += l_bw[p]
@@ -756,7 +814,7 @@ def _fused_pass_kernel(
                 def _():
                     for oxi in oxis_outer:
                         p, delta = off_geom(oyi, oxi)
-                        o = oyi * n_off1 + oxi
+                        o = obit(oyi, oxi)
                         b = bits_s[pl.ds(o, 1)]
                         cand = off_candidates(oyi, oxi, jnp.asarray(False))
                         sel1 = cand & (b <= th1)
@@ -854,6 +912,8 @@ def pallas_pass_supported(
     bh = 2 * rad + step
     bh_c = _cdiv(bh, step) * step
     n_off = (2 * rad + 1) ** 2
+    rad_t_p = prms.search_sz_t
+    n_off_p = n_off + (2 * rad_t_p + 1) ** 2 + 1   # bits + packed pbits
     n_acc = 3 if mode == "smooth" else 2
     sub_t = 16 if window_dtype == "bfloat16" else 8
     fd_pad = _cdiv(f + 1, sub_t) * sub_t
@@ -861,7 +921,7 @@ def pallas_pass_supported(
     bands = bh_c * step * (2 * f + fd_pad) * c4p * band_elem
     nrr = step + psz - 1
     raw = 3 * nrr * step * 8 * c4p * 4 + 8 * (psz * _nshift(psz) * step) * c4p * 4
-    bits = 2 * n_off * c4p * 4
+    bits = n_off_p * c4p * 4
     agg = (2 * rad + step) * step * (n_acc * f + 1) * c4p * 4
     outs = 2 * step * step * (n_acc * f + 1) * c4p * 4 * 2  # double-buffered
     accs = 8 * f * c4p * 4
@@ -1020,7 +1080,9 @@ def dense_pass_pallas(
     scratch.append(pltpu.VMEM((chp, tap, c4p), jnp.float32))  # DCT elements
     scratch.append(pltpu.VMEM((n_off, c4p), jnp.int32))
     if has_prev:
-        scratch.append(pltpu.VMEM((n_off, c4p), jnp.int32))
+        # pbits holds non-INF rows only for the packed inner block
+        # (+1 scratch row absorbing the outer-oy groups' INF writes)
+        scratch.append(pltpu.VMEM(((2 * rad_t + 1) ** 2 + 1, c4p), jnp.int32))
     n_acc_scr = 6 if has_prev else 2
     scratch += [pltpu.VMEM((f, c4p), jnp.float32)] * n_acc_scr
     scratch.append(pltpu.VMEM((8, c4p), jnp.float32))         # np1/np0 rows

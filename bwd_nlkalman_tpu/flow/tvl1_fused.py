@@ -79,10 +79,14 @@ def _level_kernel(
 
     gy = jax.lax.broadcasted_iota(i32, (hp, ln), 0)
     gx = jax.lax.broadcasted_iota(i32, (hp, ln), 1)
-    first_row = gy == 0
-    last_row = gy == h - 1
-    first_col = gx == 0
-    last_col = gx == w - 1
+    # forward-gradient masks are widened to the PAD region (>= instead of
+    # ==): then the dual planes stay identically zero at col >= w-1 /
+    # row >= h-1 (p init 0, update (0 + taut*0)*r = 0), and the
+    # divergence needs NO boundary selects at all — the cyclic rolls
+    # bring in exact zeros, so ax[0] = pa[0] - 0 and ax[w-1] = 0 -
+    # pa[w-2] reproduce mask.c:152-177 bit-identically
+    last_row = gy >= h - 1
+    last_col = gx >= w - 1
     inframe = (gy < h) & (gx < w)
 
     def shift_down(x):
@@ -216,15 +220,10 @@ def _level_kernel(
         v2 = u2 + fi * i1wy
 
         def div(pa, pb):
-            ax = jnp.where(
-                first_col, pa,
-                jnp.where(last_col, -shift_right(pa), pa - shift_right(pa)),
-            )
-            by_ = jnp.where(
-                first_row, pb,
-                jnp.where(last_row, -shift_down(pb), pb - shift_down(pb)),
-            )
-            return ax + by_
+            # pa is 0 at cols >= w-1 and pb is 0 at rows >= h-1 (the
+            # widened fgrad masks keep them so), hence the backward
+            # differences with cyclic rolls are exact at both borders
+            return (pa - shift_right(pa)) + (pb - shift_down(pb))
 
         u1n = v1 + theta * div(p11, p12)
         u2n = v2 + theta * div(p21, p22)
