@@ -436,7 +436,7 @@ def _fused_pass_kernel(
             row_ok = (qy >= qy_lo) & (qy < qy_hi)
             ir_oy = jnp.abs(oyi - rad) <= rad_t
 
-            def group(oxis, ir, bsl=None, outer=False):
+            def group(oxis, ir, bsl=None, outer=False, pre=None):
                 # block mode: the (F, 128) distance arithmetic runs on
                 # one vreg block; the 1-row bits stores RMW the full row
                 # (Mosaic cannot store at a dynamic row + lane offset).
@@ -456,7 +456,11 @@ def _fused_pass_kernel(
 
                 for oxi in oxis:
                     p, delta = off_geom(oyi, oxi)
-                    a = _roll(band_x[bslot(oyi), p], -delta, interpret).astype(f32)
+                    if pre is not None:
+                        a = pre[oxi]
+                    else:
+                        a = _roll(band_x[bslot(oyi), p], -delta,
+                                  interpret).astype(f32)
                     cand = off_candidates(oyi, oxi, ir)
                     o = obit(oyi, oxi)
                     if bsl is not None:
@@ -490,12 +494,24 @@ def _fused_pass_kernel(
                 def _():
                     group(oxis_outer_a, jnp.asarray(False), outer=True)
             elif oxis_outer_a:
-                for bi in range(c4p // 128):
-                    @pl.when(row_ok & blk_need[bi])
-                    def _(bi=bi):
-                        group(oxis_outer_a, jnp.asarray(False),
-                              bsl=slice(bi * 128, (bi + 1) * 128),
-                              outer=True)
+                # the full-width band rolls are shared across the firing
+                # blocks (each block's group used to re-roll all outer
+                # offsets); only the (F, 128) arithmetic runs per block
+                @pl.when(row_ok & not_all_temp)
+                def _():
+                    pre = {
+                        oxi: _roll(
+                            band_x[bslot(oyi), off_geom(oyi, oxi)[0]],
+                            -off_geom(oyi, oxi)[1], interpret,
+                        ).astype(f32)
+                        for oxi in oxis_outer_a
+                    }
+                    for bi in range(c4p // 128):
+                        @pl.when(blk_need[bi])
+                        def _(bi=bi):
+                            group(oxis_outer_a, jnp.asarray(False),
+                                  bsl=slice(bi * 128, (bi + 1) * 128),
+                                  outer=True, pre=pre)
             return carry
 
         jax.lax.fori_loop(0, n_off1, phase_a, 0)
@@ -567,7 +583,7 @@ def _fused_pass_kernel(
             row_ok = (qy >= qy_lo) & (qy < qy_hi)
             ir_oy = jnp.abs(oyi - rad) <= rad_t
 
-            def group(oxis, ir, bsl=None, outer=False):
+            def group(oxis, ir, bsl=None, outer=False, pre=None):
                 # outer (spatial-fallback) offsets admit candidates only
                 # on ~prev_p lanes, so spc = sel1 & wv & prev_p == 0
                 # EXACTLY: the temporal statistics section contributes
@@ -590,7 +606,11 @@ def _fused_pass_kernel(
                     o = obit(oyi, oxi)
                     b = bits_s[pl.ds(o, 1)]
                     cand = off_candidates(oyi, oxi, ir)
-                    a = _roll(band_x[bslot(oyi), p], -delta, interpret).astype(f32)
+                    if pre is not None:
+                        a = pre[oxi]
+                    else:
+                        a = _roll(band_x[bslot(oyi), p], -delta,
+                                  interpret).astype(f32)
                     if bsl is not None:
                         b = b[:, bsl]
                         cand = cand[:, bsl]
@@ -646,12 +666,22 @@ def _fused_pass_kernel(
                 def _():
                     group(oxis_outer, jnp.asarray(False), outer=True)
             elif oxis_outer:
-                for bi in range(c4p // 128):
-                    @pl.when(row_ok & blk_need[bi])
-                    def _(bi=bi):
-                        group(oxis_outer, jnp.asarray(False),
-                              bsl=slice(bi * 128, (bi + 1) * 128),
-                              outer=True)
+                # band rolls shared across firing blocks (see phase A)
+                @pl.when(row_ok & not_all_temp)
+                def _():
+                    pre = {
+                        oxi: _roll(
+                            band_x[bslot(oyi), off_geom(oyi, oxi)[0]],
+                            -off_geom(oyi, oxi)[1], interpret,
+                        ).astype(f32)
+                        for oxi in oxis_outer
+                    }
+                    for bi in range(c4p // 128):
+                        @pl.when(blk_need[bi])
+                        def _(bi=bi):
+                            group(oxis_outer, jnp.asarray(False),
+                                  bsl=slice(bi * 128, (bi + 1) * 128),
+                                  outer=True, pre=pre)
             return carry
 
         jax.lax.fori_loop(0, n_off1, phase_c, 0)
