@@ -1139,7 +1139,7 @@ def dense_pass_pallas(
     )
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * n_scalar_ins
-    in_specs += [pl.BlockSpec(memory_space=pltpu.ANY)] * (
+    in_specs += [pl.BlockSpec(memory_space=pl.ANY)] * (
         len(ins) - n_scalar_ins - 3
     )
     in_specs.append(
