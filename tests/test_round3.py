@@ -64,6 +64,56 @@ class TestFusedFlowLevel:
         assert fused_level_supported(540, 960)
         assert not fused_level_supported(4000, 4000)
 
+    def test_traced_iteration_cap(self, rng):
+        """The cap rides SMEM (traced): a jnp scalar cap must equal the
+        same int cap bit-exactly, and different caps must reuse one
+        compiled executable (no retrace of the jitted solve)."""
+        from bwd_nlkalman_tpu.flow.tvl1_fused import tvl1_single_scale_fused
+
+        h, w = 25, 41
+        base = np.cumsum(np.cumsum(rng.normal(size=(h + 8, w + 8)), 0), 1)
+        base = ((base - base.min()) / (base.max() - base.min()) * 255).astype(
+            np.float32
+        )
+        i0 = jnp.asarray(base[4 : 4 + h, 4 : 4 + w])
+        i1 = jnp.asarray(base[2 : 2 + h, 5 : 5 + w])
+        u0 = jnp.zeros((h, w, 2), jnp.float32)
+
+        a = tvl1_single_scale_fused(
+            i0, i1, u0, nwarps=2, k_check=8, max_iters=24, interpret=True
+        )
+        b = tvl1_single_scale_fused(
+            i0, i1, u0, nwarps=2, k_check=8,
+            max_iters=jnp.asarray(24, jnp.int32), interpret=True,
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+        # a different traced cap changes the result (the cap binds) but
+        # not the trace count (one executable serves every cap)
+        n0 = tvl1_single_scale_fused._cache_size()
+        c = tvl1_single_scale_fused(
+            i0, i1, u0, nwarps=2, k_check=8,
+            max_iters=jnp.asarray(8, jnp.int32), interpret=True,
+        )
+        assert tvl1_single_scale_fused._cache_size() == n0
+        assert not np.array_equal(np.asarray(b), np.asarray(c))
+
+    def test_driver_flow_maxit_override(self, rng):
+        """denoise_sequence(flow_maxit=traced scalar) == the static
+        FlowConfig.max_iters pipeline at the same cap."""
+        from bwd_nlkalman_tpu.pipeline import denoise_sequence
+        from bwd_nlkalman_tpu.pipeline.sequence import FlowConfig
+
+        noisy = jnp.asarray(
+            _scene(3, 40, 48, 1, rng)
+            + 10 * rng.standard_normal((3, 40, 48, 1)).astype(np.float32)
+        )
+        ref = denoise_sequence(noisy, 20.0, flow_cfg=FlowConfig(max_iters=16))
+        out = denoise_sequence(noisy, 20.0,
+                               flow_maxit=jnp.asarray(16, jnp.int32))
+        for r, o in zip(ref[:2], out[:2]):
+            np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
+
 
 class TestMatmulResample:
     def test_zoom_out_matches_gather_oracle(self, rng):

@@ -43,10 +43,12 @@ def main():
     clean = make_sequence(rng, t=t, h=h, w=w, c=c)
     noisy = add_noise_sequence(clean, sigma, seeds=[700 + i for i in range(t)])
 
+    import jax.numpy as jnp
     for cap in caps:
-        fc = FlowConfig(max_iters=cap)
+        # TRACED cap: every cap reuses the first cap's compiled executable
         t0 = time.perf_counter()
-        flt1, flt2, smo = denoise_sequence(noisy, sigma, flow_cfg=fc)
+        flt1, flt2, smo = denoise_sequence(
+            noisy, sigma, flow_maxit=jnp.asarray(cap, jnp.int32))
         flt2 = np.asarray(flt2)
         smo = np.asarray(smo)
         dt = time.perf_counter() - t0
