@@ -148,6 +148,24 @@ def main():
             agg_txt = f"; aggregate: failed ({type(e).__name__})"
 
     ms_txt = ""
+    if run_ms and os.environ.get("BENCH_MS_SCAN", "0") != "0":
+        # experimental: the production multiscale scan driver as one
+        # dispatch (A/B against the host-loop section below)
+        from bwd_nlkalman_tpu.pipeline.multiscale import ms_denoise_sequence
+
+        @jax.jit
+        def ms_scan(nz):
+            return ms_denoise_sequence(nz, sigma)[2]
+
+        try:
+            sync(ms_scan(noisy)[0])
+            t0 = time.perf_counter()
+            sync(ms_scan(noisy)[0])
+            ms_fps = frames / (time.perf_counter() - t0)
+            ms_txt = f"; msnlkalman scan: {ms_fps:.2f} fps"
+            run_ms = False
+        except Exception as e:
+            ms_txt = f"; msnlkalman scan: failed ({type(e).__name__})"
     if run_ms:
         # multiscale msnlkalman (BASELINE config 5): per-frame pyramid
         # decompose + per-level flow/filter + recompose, multiscale
