@@ -54,7 +54,7 @@ def luma(img: jnp.ndarray) -> jnp.ndarray:
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "tau", "lambda_", "theta", "nwarps", "epsilon", "check_every"))
+    "tau", "theta", "nwarps", "epsilon", "check_every"))
 def tvl1_flow_single_scale(
     i0: jnp.ndarray,
     i1: jnp.ndarray,
@@ -79,7 +79,9 @@ def tvl1_flow_single_scale(
     """
     h, w = i0.shape
     size = h * w
-    l_t = lambda_ * theta
+    # f32 product like the C float l_t (tvl1flow_lib.c:129) — also makes
+    # a traced lambda_ bit-identical to the same static value
+    l_t = jnp.asarray(lambda_, jnp.float32) * jnp.float32(theta)
     taut = tau / theta
 
     i1x, i1y = centered_gradient(i1)
@@ -254,6 +256,14 @@ def tvl1_flow(
                         "BNLK_TVL1_STATE_DTYPE", "float32"),
                 )
             elif use_pallas:
+                if isinstance(lambda_, jax.core.Tracer):
+                    # the tiled fallback kernel bakes lambda in at compile
+                    # time; levels beyond the fused plan can't sweep it
+                    raise ValueError(
+                        "traced lambda_ requires the fused TV-L1 backend "
+                        f"(level {a.shape} exceeds its VMEM plan); pass a "
+                        "python float or reduce the level size/fscale"
+                    )
                 u = tvl1_single_scale_pallas(
                     a, b, u, tau=tau, lambda_=lambda_, theta=theta,
                     nwarps=nwarps, epsilon=epsilon,

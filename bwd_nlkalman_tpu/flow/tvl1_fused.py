@@ -63,18 +63,20 @@ def _droll(x, sh, interpret):
 
 
 def _level_kernel(
-    i0_ref, i1p_ref, u_ref, mi_ref, uout_ref,
+    i0_ref, i1p_ref, u_ref, mi_ref, lam_ref, uout_ref,
     u1s, u2s, ps, cs, hwin,
-    *, h, w, hp, ln, nwarps, tau, lambda_, theta, epsilon,
+    *, h, w, hp, ln, nwarps, tau, theta, epsilon,
     k_check, sdt, interpret,
 ):
     f32 = jnp.float32
     i32 = jnp.int32
-    l_t = lambda_ * theta
     taut = tau / theta
-    # TRACED iteration cap (SMEM): tuning/gating the cap reuses one
-    # compiled kernel (tvl1flow_lib.c:24 MAX_ITERATIONS is the C default)
+    # TRACED scalars (SMEM): the iteration cap and the data weight
+    # lambda — the two knobs the reference's tuning scripts sweep
+    # (2d-search-filtering-oflow.sh DW; MAX_ITERATIONS tvl1flow_lib.c:24)
+    # — retune without recompiling the Mosaic kernel
     max_iters = mi_ref[0]
+    l_t = lam_ref[0] * theta
 
     u1s[:] = u_ref[0]
     u2s[:] = u_ref[1]
@@ -321,7 +323,7 @@ def fused_level_supported(h: int, w: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tau", "lambda_", "theta", "nwarps", "epsilon",
+    static_argnames=("tau", "theta", "nwarps", "epsilon",
                      "k_check", "state_dtype", "interpret"),
 )
 def tvl1_single_scale_fused(
@@ -341,8 +343,9 @@ def tvl1_single_scale_fused(
     """Drop-in single-scale TV-L1 solve, whole level in one kernel.
 
     i0, i1: (H, W) float32; u_init: (H, W, 2).  Returns (H, W, 2).
-    ``max_iters`` is TRACED (int or scalar array): retuning the cap does
-    not recompile the Mosaic kernel.
+    ``max_iters`` and ``lambda_`` are TRACED (python scalar or scalar
+    array): retuning the cap or the data weight does not recompile the
+    Mosaic kernel.
     """
     from ..ops.grad import centered_gradient
 
@@ -361,10 +364,11 @@ def tvl1_single_scale_fused(
     ).astype(jnp.float32)
 
     mi = jnp.asarray(max_iters, jnp.int32).reshape((1,))
+    lam = jnp.asarray(lambda_, jnp.float32).reshape((1,))
     sdt = jnp.dtype(state_dtype)
     kern = functools.partial(
         _level_kernel, h=h, w=w, hp=hp, ln=ln, nwarps=nwarps,
-        tau=tau, lambda_=lambda_, theta=theta, epsilon=epsilon,
+        tau=tau, theta=theta, epsilon=epsilon,
         k_check=k_check, sdt=sdt, interpret=interpret,
     )
     uout = pl.pallas_call(
@@ -373,6 +377,7 @@ def tvl1_single_scale_fused(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -388,6 +393,6 @@ def tvl1_single_scale_fused(
             vmem_limit_bytes=110 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(i0p, i1p, u0, mi)
+    )(i0p, i1p, u0, mi, lam)
 
     return uout[:, :h, :w].transpose(1, 2, 0)

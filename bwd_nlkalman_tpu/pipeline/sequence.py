@@ -57,16 +57,23 @@ class FlowConfig:
     # None = the reference's MAX_ITERATIONS (300), or BNLK_TVL1_MAXIT env
     max_iters: int | None = None
 
-    def flow(self, i0, i1, max_iters=None):
-        """max_iters override may be a TRACED scalar: the iteration cap
-        rides the fused kernel's SMEM, so retuning it (training searches,
-        tools/flow_maxit_gate.py) reuses one compiled executable."""
+    def flow(self, i0, i1, dyn=None):
+        """dyn: optional dict of TRACED overrides — 'max_iters' and
+        'lambda_' ride the fused kernel's SMEM, so retuning them
+        (training searches over the script's DW data weight,
+        tools/flow_maxit_gate.py) reuses one compiled executable.
+        Mirrors the NLK engines' dyn-dict pattern."""
+        dyn = dyn or {}
         return tvl1_flow(
-            i0, i1, tau=self.tau, lambda_=self.lambda_, theta=self.theta,
+            i0, i1, tau=self.tau,
+            lambda_=dyn.get("lambda_", self.lambda_), theta=self.theta,
             nscales=self.nscales, fscale=self.fscale, zfactor=self.zfactor,
             nwarps=self.nwarps, epsilon=self.epsilon,
-            max_iters=self.max_iters if max_iters is None else max_iters,
+            max_iters=dyn.get("max_iters", self.max_iters),
         )
+
+    def occ_th(self, dyn=None):
+        return (dyn or {}).get("occ_threshold", self.occ_threshold)
 
 
 def filter_frame_pair(
@@ -77,7 +84,7 @@ def filter_frame_pair(
     p1: NLKParams,
     p2: NLKParams,
     flow_cfg: FlowConfig = FlowConfig(),
-    flow_maxit=None,
+    flow_dyn: dict | None = None,
 ):
     """Two-pass filtering of one frame given previous outputs (RGB in/out).
 
@@ -90,8 +97,8 @@ def filter_frame_pair(
         f21 = nlkalman_filter_frame(n_opp, None, None, f11, sigma, p2)
         return opp2rgb(f11), opp2rgb(f21)
 
-    flow = flow_cfg.flow(luma(noisy), luma(flt2_prev), max_iters=flow_maxit)
-    occ = occlusion_mask(flow, flow_cfg.occ_threshold)
+    flow = flow_cfg.flow(luma(noisy), luma(flt2_prev), dyn=flow_dyn)
+    occ = occlusion_mask(flow, flow_cfg.occ_th(flow_dyn))
     # both previous outputs ride ONE gather: same flow => same validity
     c = noisy.shape[-1]
     both = jnp.concatenate([rgb2opp(flt1_prev), rgb2opp(flt2_prev)], axis=-1)
@@ -108,7 +115,7 @@ def filter_sequence(
     p1: NLKParams | None = None,
     p2: NLKParams | None = None,
     flow_cfg: FlowConfig = FlowConfig(),
-    flow_maxit=None,
+    flow_dyn: dict | None = None,
 ):
     """Forward-filter a whole sequence (T, H, W, C) -> (flt1, flt2) stacks."""
     if p1 is None:
@@ -121,7 +128,7 @@ def filter_sequence(
     def step(carry, frame):
         flt1_prev, flt2_prev = carry
         f11, f21 = filter_frame_pair(
-            frame, flt1_prev, flt2_prev, sigma, p1, p2, flow_cfg, flow_maxit
+            frame, flt1_prev, flt2_prev, sigma, p1, p2, flow_cfg, flow_dyn
         )
         return (f11, f21), (f11, f21)
 
@@ -226,7 +233,7 @@ def smooth_sequence(
     sigma: float,
     ps: NLKParams | None = None,
     flow_cfg: FlowConfig = FlowConfig(),
-    flow_maxit=None,
+    flow_dyn: dict | None = None,
 ):
     """Backward RTS smoothing of the filtered stack (T, H, W, C) -> smo1."""
     if ps is None:
@@ -236,9 +243,8 @@ def smooth_sequence(
 
     def step(carry, frame_flt2):
         smo_next = carry
-        flow = flow_cfg.flow(luma(frame_flt2), luma(smo_next),
-                             max_iters=flow_maxit)
-        occ = occlusion_mask(flow, flow_cfg.occ_threshold)
+        flow = flow_cfg.flow(luma(frame_flt2), luma(smo_next), dyn=flow_dyn)
+        occ = occlusion_mask(flow, flow_cfg.occ_th(flow_dyn))
         w0, v0 = warp_bicubic_nan(rgb2opp(smo_next), flow, occ)
         smo = opp2rgb(
             nlkalman_smooth_frame(rgb2opp(frame_flt2), w0, v0, sigma, ps)
@@ -257,6 +263,7 @@ def fsmo_sequence(
     p2: NLKParams | None = None,
     ps: NLKParams | None = None,
     flow_cfg: FlowConfig = FlowConfig(),
+    flow_dyn: dict | None = None,
 ):
     """Causal forward smoothing interleaved with filtering
     (scripts/nlkalman-fsmo-seq.sh:60-94): frame t is smoothed against
@@ -274,8 +281,8 @@ def fsmo_sequence(
 
     def step(carry, frame):
         flt1_prev, flt2_prev, smo_prev = carry
-        flow = flow_cfg.flow(luma(frame), luma(flt2_prev))
-        occ = occlusion_mask(flow, flow_cfg.occ_threshold)
+        flow = flow_cfg.flow(luma(frame), luma(flt2_prev), dyn=flow_dyn)
+        occ = occlusion_mask(flow, flow_cfg.occ_th(flow_dyn))
         n_opp = rgb2opp(frame)
         # all three previous outputs ride ONE gather (same flow/validity)
         c = frame.shape[-1]
@@ -306,6 +313,7 @@ def lsmo_sequence(
     sigma: float,
     ps: NLKParams | None = None,
     flow_cfg: FlowConfig = FlowConfig(),
+    flow_dyn: dict | None = None,
 ):
     """Lag-1 smoother (scripts/nlkalman-lsmo-seq.sh:87-118): after frame t
     is filtered, frame t-1 is smoothed against flt2_t along the forward
@@ -315,8 +323,8 @@ def lsmo_sequence(
 
     def step(_, pair):
         f_prev, f_cur = pair
-        flow = flow_cfg.flow(luma(f_prev), luma(f_cur))
-        occ = occlusion_mask(flow, flow_cfg.occ_threshold)
+        flow = flow_cfg.flow(luma(f_prev), luma(f_cur), dyn=flow_dyn)
+        occ = occlusion_mask(flow, flow_cfg.occ_th(flow_dyn))
         w0, v0 = warp_bicubic_nan(rgb2opp(f_cur), flow, occ)
         lsm = opp2rgb(nlkalman_smooth_frame(rgb2opp(f_prev), w0, v0, sigma, ps))
         return 0, lsm
@@ -335,7 +343,8 @@ def denoise_sequence(
     flow_cfg: FlowConfig = FlowConfig(),
     smoothing: bool = True,
     smooth_flow_cfg: FlowConfig | None = None,
-    flow_maxit=None,
+    flow_dyn: dict | None = None,
+    sflow_dyn: dict | None = None,
 ):
     """Full pipeline: two-pass forward filtering + backward smoothing.
 
@@ -343,15 +352,18 @@ def denoise_sequence(
     (the SPM=="no" mode, scripts/nlkalman-seq.sh:114).  smooth_flow_cfg
     lets the backward pass use its own flow parameters (the second OPM
     triple, scripts/nlkalman-seq.sh:12); defaults to flow_cfg.
-    flow_maxit: optional TRACED TV-L1 iteration-cap override — sweeping
-    the cap reuses one compiled executable.
+    flow_dyn / sflow_dyn: optional dicts of TRACED TV-L1 overrides
+    ('max_iters', 'lambda_', 'occ_threshold') for the filtering /
+    smoothing flow — sweeping them (the reference's DW / occlusion-
+    threshold searches) reuses one compiled executable; sflow_dyn
+    defaults to flow_dyn.
     """
     flt1, flt2 = filter_sequence(noisy, sigma, p1, p2, flow_cfg,
-                                 flow_maxit=flow_maxit)
+                                 flow_dyn=flow_dyn)
     if not smoothing:
         return flt1, flt2, None
     smo1 = smooth_sequence(flt2, sigma, ps, smooth_flow_cfg or flow_cfg,
-                           flow_maxit=flow_maxit)
+                           flow_dyn=flow_dyn if sflow_dyn is None else sflow_dyn)
     return flt1, flt2, smo1
 
 

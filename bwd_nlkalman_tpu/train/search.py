@@ -84,6 +84,8 @@ def evaluate(
     smooth_flow_cfg=None,
     fixtures=None,
     dynamic: bool = False,
+    flow_dyn: dict | None = None,
+    sflow_dyn: dict | None = None,
 ) -> TrialResult:
     """Mean per-stage MSE/PSNR of one parameter set over clean sequences.
 
@@ -133,6 +135,7 @@ def evaluate(
             flt1, flt2, smo1 = denoise_sequence(
                 jnp.asarray(noisy), sigma, p1, p2, ps, smoothing=smoothing,
                 flow_cfg=flow_cfg, smooth_flow_cfg=smooth_flow_cfg,
+                flow_dyn=flow_dyn, sflow_dyn=sflow_dyn,
             )
         ff = min(first_frame, t - 1)
         stacks = {"flt1": np.asarray(flt1), "flt2": np.asarray(flt2)}
@@ -371,30 +374,41 @@ def grid_search_2d(
     "sflow_lambda"/"sflow_occ" (smoothing flow).  Returns results sorted
     by the objective MSE as [((va, vb), TrialResult), ...]."""
     from ..pipeline import FlowConfig
+    import jax.numpy as jnp
 
-    def apply(field, v, betas, fcfg, scfg):
+    def apply(field, v, betas, fcfg, scfg, fdyn, sdyn):
         if field.startswith("fflow_") or field.startswith("sflow_"):
             attr = {"lambda": "lambda_", "occ": "occ_threshold",
                     "fscale": "fscale"}[field.split("_", 1)[1]]
-            if field.startswith("fflow_"):
-                fcfg = dataclasses.replace(fcfg, **{attr: v})
+            if attr == "fscale":        # static (drives the pyramid shape)
+                if field.startswith("fflow_"):
+                    fcfg = dataclasses.replace(fcfg, **{attr: v})
+                else:
+                    scfg = dataclasses.replace(scfg, **{attr: v})
             else:
-                scfg = dataclasses.replace(scfg, **{attr: v})
+                # lambda_ / occ_threshold are TRACED (SMEM on the fused
+                # kernel): the whole sweep reuses one compiled executable
+                d = fdyn if field.startswith("fflow_") else sdyn
+                d[attr] = jnp.asarray(v, jnp.float32)
         else:
             betas = dict(betas)
             betas[field] = v
-        return betas, fcfg, scfg
+        return betas, fcfg, scfg, fdyn, sdyn
 
     results = []
     for va in values_a:
         for vb in values_b:
-            betas, fcfg, scfg = {}, FlowConfig(), FlowConfig()
-            betas, fcfg, scfg = apply(field_a, va, betas, fcfg, scfg)
-            betas, fcfg, scfg = apply(field_b, vb, betas, fcfg, scfg)
+            st = ({}, FlowConfig(), FlowConfig(), {}, {})
+            st = apply(field_a, va, *st)
+            betas, fcfg, scfg, fdyn, sdyn = apply(field_b, vb, *st)
             r = evaluate(
                 clean_seqs, sigma, *_with_betas(sigma, betas),
                 first_frame=first_frame, flow_cfg=fcfg,
                 smooth_flow_cfg=scfg,
+                flow_dyn=fdyn or None,
+                # {} = "no overrides" for the smoothing direction (denoise
+                # would otherwise inherit flow_dyn when sflow_dyn is None)
+                sflow_dyn=sdyn if sdyn else ({} if fdyn else None),
             )
             results.append(((va, vb), r))
             if table_path:

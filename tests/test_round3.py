@@ -98,9 +98,9 @@ class TestFusedFlowLevel:
         assert tvl1_single_scale_fused._cache_size() == n0
         assert not np.array_equal(np.asarray(b), np.asarray(c))
 
-    def test_driver_flow_maxit_override(self, rng):
-        """denoise_sequence(flow_maxit=traced scalar) == the static
-        FlowConfig.max_iters pipeline at the same cap."""
+    def test_driver_flow_dyn_override(self, rng):
+        """denoise_sequence(flow_dyn={traced scalars}) == the static
+        FlowConfig pipeline at the same cap/data-weight/occ threshold."""
         from bwd_nlkalman_tpu.pipeline import denoise_sequence
         from bwd_nlkalman_tpu.pipeline.sequence import FlowConfig
 
@@ -108,11 +108,43 @@ class TestFusedFlowLevel:
             _scene(3, 40, 48, 1, rng)
             + 10 * rng.standard_normal((3, 40, 48, 1)).astype(np.float32)
         )
-        ref = denoise_sequence(noisy, 20.0, flow_cfg=FlowConfig(max_iters=16))
-        out = denoise_sequence(noisy, 20.0,
-                               flow_maxit=jnp.asarray(16, jnp.int32))
+        ref = denoise_sequence(
+            noisy, 20.0,
+            flow_cfg=FlowConfig(max_iters=16, lambda_=0.2, occ_threshold=0.6),
+        )
+        out = denoise_sequence(
+            noisy, 20.0,
+            flow_dyn={
+                "max_iters": jnp.asarray(16, jnp.int32),
+                "lambda_": jnp.asarray(0.2, jnp.float32),
+                "occ_threshold": jnp.asarray(0.6, jnp.float32),
+            },
+        )
         for r, o in zip(ref[:2], out[:2]):
             np.testing.assert_array_equal(np.asarray(r), np.asarray(o))
+
+    def test_flow_dyn_sweep_no_retrace(self, rng):
+        """Sweeping the data weight through flow_dyn binds (different
+        flows) and reuses one compiled executable (the reference's
+        2d-search-filtering-oflow.sh economy)."""
+        from bwd_nlkalman_tpu.pipeline.sequence import filter_sequence
+
+        noisy = jnp.asarray(
+            _scene(3, 40, 48, 1, rng)
+            + 10 * rng.standard_normal((3, 40, 48, 1)).astype(np.float32)
+        )
+        outs, n0 = [], None
+        for lam in (0.15, 0.45):
+            _, f2 = filter_sequence(
+                noisy, 20.0,
+                flow_dyn={"lambda_": jnp.asarray(lam, jnp.float32),
+                          "max_iters": jnp.asarray(60, jnp.int32)},
+            )
+            outs.append(np.asarray(f2))
+            if n0 is None:
+                n0 = filter_sequence._cache_size()
+        assert filter_sequence._cache_size() == n0
+        assert not np.array_equal(outs[0], outs[1])
 
 
 class TestMatmulResample:

@@ -48,7 +48,7 @@ def main():
         # TRACED cap: every cap reuses the first cap's compiled executable
         t0 = time.perf_counter()
         flt1, flt2, smo = denoise_sequence(
-            noisy, sigma, flow_maxit=jnp.asarray(cap, jnp.int32))
+            noisy, sigma, flow_dyn={"max_iters": jnp.asarray(cap, jnp.int32)})
         flt2 = np.asarray(flt2)
         smo = np.asarray(smo)
         dt = time.perf_counter() - t0
