@@ -50,6 +50,7 @@ has_basic combinations.  Sharded paths (site_rows/qy_bounds) stay on v2.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -147,6 +148,11 @@ def _fused_pass_kernel(
     bh_c, nrr, blk = cfg["bh_c"], cfg["nrr"], cfg["blk"]
     sr_lo, sr_hi = cfg["sr_lo"], cfg["sr_hi"]
     nsh = _nshift(psz)
+    # debug-only phase attribution (BNLK_KERNEL_SKIP): the pass is ONE
+    # kernel, invisible to the profiler — peeling phases (F=band fill,
+    # A=distances, B=selection, C=stats, E=aggregation, G=IDCT/fold)
+    # attributes its cost.  Output is garbage when any phase is skipped.
+    skip = cfg["skip"]
 
     i = 0
     qyb_ref = refs[i]; i += 1            # SMEM (2,): global patch-row bounds
@@ -306,16 +312,17 @@ def _fused_pass_kernel(
         if has_basic:
             dct_rows(raw_n, band_n, ch, False)
 
-    @pl.when(sr == 0)
-    def _prologue_fill():
-        def g_body(g, carry):
-            fill_bands(g * step - rad)
-            return carry
-        jax.lax.fori_loop(0, bh_c // step, g_body, 0)
+    if "F" not in skip:
+        @pl.when(sr == 0)
+        def _prologue_fill():
+            def g_body(g, carry):
+                fill_bands(g * step - rad)
+                return carry
+            jax.lax.fori_loop(0, bh_c // step, g_body, 0)
 
-    @pl.when(sr > 0)
-    def _front_fill():
-        fill_bands(step * (sr - 1 + bh_c // step) - rad)
+        @pl.when(sr > 0)
+        def _front_fill():
+            fill_bands(step * (sr - 1 + bh_c // step) - rad)
 
     # site gate: own row range AND the center patch row within the global
     # bounds (v2's site_ok — a shard's halo can hold real LOCAL patch rows
@@ -412,14 +419,15 @@ def _fused_pass_kernel(
         # INF-prefill: the inner block always; the packed outer rows only
         # when some site needs the spatial fallback (they are only read
         # by the _full bisection, which runs on not_all_temp rows)
-        bits_s[pl.ds(0, n_ii)] = jnp.full((n_ii, c4p), _INF_BITS, jnp.int32)
-        if n_off > n_ii:
-            @pl.when(not_all_temp)
-            def _():
-                bits_s[pl.ds(n_ii, n_off - n_ii)] = jnp.full(
-                    (n_off - n_ii, c4p), _INF_BITS, jnp.int32)
-        if has_prev:
-            pbits_s[:] = jnp.full((n_ii + 1, c4p), _INF_BITS, jnp.int32)
+        if "A" not in skip:
+            bits_s[pl.ds(0, n_ii)] = jnp.full((n_ii, c4p), _INF_BITS, jnp.int32)
+            if n_off > n_ii:
+                @pl.when(not_all_temp)
+                def _():
+                    bits_s[pl.ds(n_ii, n_off - n_ii)] = jnp.full(
+                        (n_off - n_ii, c4p), _INF_BITS, jnp.int32)
+            if has_prev:
+                pbits_s[:] = jnp.full((n_ii + 1, c4p), _INF_BITS, jnp.int32)
 
         # offsets split by temporal radius: per group the predicate is
         # uniform, so ONE pl.when wraps each group (21 predicated regions
@@ -514,7 +522,8 @@ def _fused_pass_kernel(
                                   outer=True, pre=pre)
             return carry
 
-        jax.lax.fori_loop(0, n_off1, phase_a, 0)
+        if "A" not in skip:
+            jax.lax.fori_loop(0, n_off1, phase_a, 0)
 
         # ---- phase B: k-th smallest thresholds by bit bisection ----
         if has_prev:
@@ -537,7 +546,10 @@ def _fused_pass_kernel(
             lo, hi = jax.lax.fori_loop(0, 31, body, (zero, zero + inf_b))
             return jnp.where(k <= 0, -1, hi)
 
-        if mode == "filter" and has_prev and rad_t < rad:
+        if "B" in skip:
+            inf_row = jnp.full((1, c4p), inf_b, jnp.int32)
+            th1 = tha = thp = inf_row
+        elif mode == "filter" and has_prev and rad_t < rad:
             # all-temporal rows only have live bits in the packed inner
             # block (the (2*rad_t+1)^2 leading rows); pbits' live rows are
             # ALWAYS that block (row n_ii is the INF scratch row)
@@ -684,7 +696,8 @@ def _fused_pass_kernel(
                                   outer=True, pre=pre)
             return carry
 
-        jax.lax.fori_loop(0, n_off1, phase_c, 0)
+        if "C" not in skip:
+            jax.lax.fori_loop(0, n_off1, phase_c, 0)
 
         # ---- phase D: Kalman/Wiener update -> per-site specs ----
         np1 = nrows_s[0:1]
@@ -858,7 +871,8 @@ def _fused_pass_kernel(
                                 memw * bwspec, delta, interpret)
             return carry
 
-        jax.lax.fori_loop(0, n_off1, phase_e, 0)
+        if "E" not in skip:
+            jax.lax.fori_loop(0, n_off1, phase_e, 0)
 
     # ---- in-kernel finalization of retired patch rows ----------------
     # Patch rows [step*sr - rad, +step) have received every contribution
@@ -874,7 +888,7 @@ def _fused_pass_kernel(
     wy = win_ref[:, 0:1]                       # (psz, 1) window column
     wx1 = _window_1d("gaussian", psz)          # python floats for dx scale
 
-    for i2 in range(step):
+    for i2 in range(step) if "G" not in skip else ():
         slot_i = jnp.mod(step * sr + i2, ah)
         for p in range(step):
             gain = agg_g[slot_i, p]                           # (F, C4p)
@@ -1136,6 +1150,12 @@ def dense_pass_pallas(
         sr_hi=n_rows if site_rows is None else min(site_rows[1], n_rows),
         dyn=dyn is not None,
         j_own=(0, ns) if site_lanes is None else site_lanes,
+        # debug-only phase peeling (see _fused_pass_kernel).  Read at
+        # trace time: changing the env var does NOT invalidate already-
+        # jitted callers — use one process per setting (tools/
+        # profile_pass_phases.py does)
+        skip=tuple(sorted(filter(None, os.environ.get(
+            "BNLK_KERNEL_SKIP", "").split(",")))),
     )
 
     in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)] * n_scalar_ins
