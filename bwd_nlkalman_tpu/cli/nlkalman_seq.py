@@ -49,6 +49,12 @@ def main(argv=None):
     ap.add_argument("--fscale", type=int, default=1)
     ap.add_argument("--flow-lambda", type=float, default=0.25)
     ap.add_argument("--occ-threshold", type=float, default=0.75)
+    ap.add_argument("--opm", default=None, metavar='"F DW TH [F DW TH]"',
+                    help="packed flow-parameter string like the script's "
+                    "OPM positional (scripts/nlkalman-seq.sh:12): fscale, "
+                    "data weight, occlusion threshold for the filtering "
+                    "direction, optionally followed by the smoothing "
+                    "direction's triple; overrides the individual flags")
     args = ap.parse_args(argv)
 
     setup_jax()
@@ -80,6 +86,16 @@ def main(argv=None):
     else:
         cfg = FlowConfig(fscale=args.fscale, lambda_=args.flow_lambda,
                          occ_threshold=args.occ_threshold)
+        scfg = None
+        if args.opm:
+            o = args.opm.split()
+            if len(o) not in (3, 6):
+                ap.error("--opm takes 3 or 6 numbers (fscale dw th [x2])")
+            cfg = FlowConfig(fscale=int(o[0]), lambda_=float(o[1]),
+                             occ_threshold=float(o[2]))
+            if len(o) == 6:
+                scfg = FlowConfig(fscale=int(o[3]), lambda_=float(o[4]),
+                                  occ_threshold=float(o[5]))
         if smoother == "fsmo":
             from ..pipeline import fsmo_sequence
 
@@ -91,11 +107,11 @@ def main(argv=None):
 
             flt1, flt2 = filter_sequence(jnp.asarray(noisy), args.sigma,
                                          flow_cfg=cfg)
-            smo1 = lsmo_sequence(flt2, args.sigma, flow_cfg=cfg)
+            smo1 = lsmo_sequence(flt2, args.sigma, flow_cfg=scfg or cfg)
         else:
             flt1, flt2, smo1 = denoise_sequence(
                 jnp.asarray(noisy), args.sigma, flow_cfg=cfg,
-                smoothing=smoother != "none",
+                smoothing=smoother != "none", smooth_flow_cfg=scfg,
             )
 
     stacks = {"flt1": np.asarray(flt1), "flt2": np.asarray(flt2)}

@@ -84,8 +84,11 @@ def test_seq_cli_gt_mode(tmp_path, rng, capsys):
     pat = str(tmp_path / "c-%03d.tif")
     for i in range(3):
         write_tiff(pat % (i + 1), clean[i])
+    # packed OPM string like nlkalman-seq.sh:12 (same values as the
+    # defaults, so the compiled configs are shared with other tests)
     rc = nlkalman_seq.main([pat, "1", "3", "20", str(tmp_path / "out"),
-                            "--gt-pattern", pat, "--seed", "5"])
+                            "--gt-pattern", pat, "--seed", "5",
+                            "--opm", "1 0.25 0.75 1 0.25 0.75"])
     assert rc == 0
     out = capsys.readouterr().out
     assert "PSNR(dB):" in out
