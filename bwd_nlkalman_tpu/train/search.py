@@ -100,6 +100,12 @@ def evaluate(
 
     if flow_cfg is None:
         flow_cfg = FlowConfig()
+    if fixtures is not None and (flow_dyn or sflow_dyn):
+        raise ValueError(
+            "flow_dyn/sflow_dyn have no effect with fixtures (their flow "
+            "is precomputed); rebuild fixtures with the new flow "
+            "parameters or evaluate without fixtures"
+        )
     mses = {"flt1": [], "flt2": [], "smo1": []}
     psnrs = {"flt1": [], "flt2": [], "smo1": []}
     for si, clean in enumerate(clean_seqs):
