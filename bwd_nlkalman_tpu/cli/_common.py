@@ -8,8 +8,15 @@ from ..params import NLKParams
 
 
 def setup_jax():
+    import os
+
     import jax
 
+    # honor JAX_PLATFORMS explicitly: plugin platforms (the axon TPU)
+    # can otherwise win backend selection regardless of the env var
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        jax.config.update("jax_platforms", plat)
     jax.config.update("jax_compilation_cache_dir", "/tmp/bnlk_jax_cache")
     return jax
 

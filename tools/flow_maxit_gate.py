@@ -32,6 +32,9 @@ def main():
     h, w, c, sigma, t = cfg["h"], cfg["w"], cfg["c"], cfg["sigma"], cfg["t"]
 
     import jax
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:  # the axon plugin ignores the env var alone
+        jax.config.update("jax_platforms", plat)
     jax.config.update("jax_compilation_cache_dir", "/tmp/bnlk_jax_cache")
     from bwd_nlkalman_tpu.pipeline import (
         add_noise_sequence, denoise_sequence, sequence_psnr,
