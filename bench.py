@@ -30,6 +30,9 @@ import numpy as np
 
 def main():
     import jax
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:  # plugin platforms can otherwise win regardless of the env
+        jax.config.update("jax_platforms", plat)
     jax.config.update("jax_compilation_cache_dir", "/tmp/bnlk_jax_cache")
     import jax.numpy as jnp
     from bwd_nlkalman_tpu.params import default_params, FilterMode
@@ -77,8 +80,18 @@ def main():
             smo = smooth_step(flt2[t], smo)
         return smo
 
+    # structured translating scene + AWGN — the same natural-statistics
+    # protocol as the parity/PSNR tooling (tests/test_pipeline.make_sequence)
+    # and the reference's own DAVIS/derf evals.  (Rounds 1-2 benched a
+    # white-noise TEXTURE as the clean signal — the adversarial worst case,
+    # where TV-L1 never converges and always runs to its 300-iteration cap;
+    # the PSNR-gated evidence (tools/flow_maxit_gate.py, ROUND_NOTES) shows
+    # real content converges far earlier.)
     rng = np.random.default_rng(0)
-    base = rng.uniform(40, 215, (h + 8, w + 8)).astype(np.float32)
+    base = np.cumsum(np.cumsum(
+        rng.standard_normal((h + 8, w + 8)), axis=0), axis=1)
+    base = ((base - base.min()) / (base.max() - base.min()) * 175 + 40
+            ).astype(np.float32)
     stack = np.stack(
         [base[i % 8 : i % 8 + h, i % 8 : i % 8 + w] for i in range(frames)]
     )[..., None]
@@ -107,6 +120,20 @@ def main():
     sync(scan_pipeline(noisy)[0])
     dt = time.perf_counter() - t0
     fps = frames / dt
+
+    # worst case: white-noise texture as the clean signal (the r01/r02
+    # content) — TV-L1 never converges there and runs to its iteration
+    # cap.  Same compiled executable, different data.
+    wc_base = rng.uniform(40, 215, (h + 8, w + 8)).astype(np.float32)
+    wc = np.stack(
+        [wc_base[i % 8 : i % 8 + h, i % 8 : i % 8 + w] for i in range(frames)]
+    )[..., None]
+    noisy_wc = jnp.asarray(
+        wc + sigma * rng.standard_normal(wc.shape).astype(np.float32))
+    sync(scan_pipeline(noisy_wc)[0])
+    t0 = time.perf_counter()
+    sync(scan_pipeline(noisy_wc)[0])
+    wc_fps = frames / (time.perf_counter() - t0)
 
     # per-frame streaming latency (host-dispatched steps), for reference
     sync(full_pipeline(noisy[:2], f1, f2))
@@ -236,6 +263,9 @@ def main():
         "metric": (
             f"{h}p gray full-pipeline frames/sec/chip at sigma={sigma:g} "
             f"(2 TV-L1 flows + 2-pass filter + RTS smoother per frame; "
+            f"structured-scene content per the parity protocol; "
+            f"worst-case white-noise-texture content (the r01/r02 signal, "
+            f"TV-L1 pinned at its 300-iteration cap): {wc_fps:.2f} fps; "
             f"streaming per-frame latency: {lat_fps:.2f} fps"
             f"{agg_txt}{ms_txt})"
         ),
