@@ -21,7 +21,9 @@ import numpy as np
 
 CONFIGS = {
     "540g": dict(h=540, w=960, c=1, sigma=20.0, t=6),
+    "540g40": dict(h=540, w=960, c=1, sigma=40.0, t=6),
     "1080g": dict(h=1080, w=1920, c=1, sigma=20.0, t=4),
+    "1080g40": dict(h=1080, w=1920, c=1, sigma=40.0, t=4),
 }
 
 
