@@ -44,7 +44,9 @@ Layout (v5e-tuned; VMEM ~128 MB):
 
 Supported: even patch_sz, any channel count that fits VMEM (auto
 dispatch falls back to v2 otherwise), filter/smooth, all has_prev /
-has_basic combinations.  Sharded paths (site_rows/qy_bounds) stay on v2.
+has_basic combinations, and the sharded path (site_rows/qy_bounds with
+the phantom-site center gate; parallel/spatial.py dispatches
+engine="auto" -> pallas on TPU when the VMEM plan fits).
 """
 
 from __future__ import annotations

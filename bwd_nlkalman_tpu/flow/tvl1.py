@@ -182,6 +182,85 @@ def _use_pallas_backend(backend: str) -> bool:
         return False
 
 
+def _prep_pair(i0, i1):
+    """Luma + joint normalization + presmooth (tvl1flow_lib.c:382-386)."""
+    i0 = luma(jnp.asarray(i0, jnp.float32))
+    i1 = luma(jnp.asarray(i1, jnp.float32))
+    i0n, i1n = _normalize_pair(i0, i1)
+    return (
+        gaussian_blur(i0n, PRESMOOTHING_SIGMA),
+        gaussian_blur(i1n, PRESMOOTHING_SIGMA),
+    )
+
+
+def _solve_level(a, b, u, *, tau, lambda_, theta, nwarps, epsilon,
+                 max_iters, use_pallas):
+    """Single-scale solve dispatch (fused kernel / tiled kernel / XLA)."""
+    if use_pallas:
+        from .tvl1_pallas import tvl1_single_scale_pallas
+        from .tvl1_fused import tvl1_single_scale_fused, fused_level_supported
+
+        if fused_level_supported(*a.shape):
+            # whole-level fused kernel (warp + all iterations in one
+            # launch) — the per-launch overhead dominates every level.
+            # Coarse levels check convergence less often: the
+            # while-round boundary (err reduce + state flush) is the
+            # dominant fixed cost when planes are tiny, and running a
+            # few iterations past the stopping point only brings the
+            # iterate closer to the fixed point.
+            npx = a.shape[0] * a.shape[1]
+            k_check = int(os.environ.get(
+                "BNLK_TVL1_KC_FINE" if npx > 200_000
+                else "BNLK_TVL1_KC_COARSE",
+                "8" if npx > 200_000 else "24"))
+            return tvl1_single_scale_fused(
+                a, b, u, tau=tau, lambda_=lambda_, theta=theta,
+                nwarps=nwarps, epsilon=epsilon, k_check=k_check,
+                max_iters=max_iters,
+                state_dtype=os.environ.get(
+                    "BNLK_TVL1_STATE_DTYPE", "float32"),
+            )
+        if isinstance(lambda_, jax.core.Tracer):
+            # the tiled fallback kernel bakes lambda in at compile
+            # time; levels beyond the fused plan can't sweep it
+            raise ValueError(
+                "traced lambda_ requires the fused TV-L1 backend "
+                f"(level {a.shape} exceeds its VMEM plan); pass a "
+                "python float or reduce the level size/fscale"
+            )
+        return tvl1_single_scale_pallas(
+            a, b, u, tau=tau, lambda_=lambda_, theta=theta,
+            nwarps=nwarps, epsilon=epsilon,
+            max_iterations=max_iters,
+        )
+    return tvl1_flow_single_scale(
+        a, b, u, tau=tau, lambda_=lambda_, theta=theta,
+        nwarps=nwarps, epsilon=epsilon, max_iters=max_iters,
+    )
+
+
+def _upsample_chain(u, sizes, s_from, zfactor):
+    """Zoom the flow from level s_from up to level 0 (tvl1flow_lib.c:427-455)."""
+    for s in range(s_from, 0, -1):
+        nw, nh = sizes[s - 1]
+        u = jnp.stack(
+            [zoom_in(u[..., 0], nw, nh), zoom_in(u[..., 1], nw, nh)], axis=-1
+        ) * (1.0 / zfactor)
+    return u
+
+
+def flow_carry_shape(h: int, w: int, nscales: int = 100, fscale: int = 0,
+                     zfactor: float = 0.5) -> tuple[int, int, int]:
+    """Static shape of the level-`fscale` flow carried by the warm-start
+    streaming drivers: (h_fs, w_fs, 2)."""
+    ns = num_scales(w, h, nscales, zfactor)
+    fs = min(fscale, ns)
+    cw, ch_ = w, h
+    for _ in range(fs):
+        cw, ch_ = zoom_size(cw, ch_, zfactor)
+    return (ch_, cw, 2)
+
+
 def tvl1_flow(
     i0: jnp.ndarray,
     i1: jnp.ndarray,
@@ -195,13 +274,15 @@ def tvl1_flow(
     epsilon: float = 0.01,
     backend: str = "auto",
     max_iters: int | None = None,
-) -> jnp.ndarray:
+    return_carry: bool = False,
+):
     """Multiscale TV-L1 flow from i0 to i1 (both (H, W) or (H, W, C)).
 
     Color inputs are converted with Rec.601 luma first, like the reference
     CLI.  Mirrors Dual_TVL1_optic_flow_multiscale (tvl1flow_lib.c:345-474)
     including fscale early stop with pure upsampling of the coarser flow.
-    Returns (H, W, 2) float32.
+    Returns (H, W, 2) float32; with return_carry=True also the
+    level-`fscale` flow (the warm-start carry for tvl1_flow_warm).
     """
     if max_iters is None:
         max_iters = int(os.environ.get("BNLK_TVL1_MAXIT", str(MAX_ITERATIONS)))
@@ -211,9 +292,7 @@ def tvl1_flow(
     ns = num_scales(w, h, nscales, zfactor)
     fs = min(fscale, ns)
 
-    i0n, i1n = _normalize_pair(i0, i1)
-    i0n = gaussian_blur(i0n, PRESMOOTHING_SIGMA)
-    i1n = gaussian_blur(i1n, PRESMOOTHING_SIGMA)
+    i0n, i1n = _prep_pair(i0, i1)
 
     # build pyramid (zoom_out by zfactor per level)
     pyr = [(i0n, i1n)]
@@ -226,61 +305,83 @@ def tvl1_flow(
         sizes.append((nw, nh))
 
     use_pallas = _use_pallas_backend(backend)
-    if use_pallas:
-        from .tvl1_pallas import tvl1_single_scale_pallas
-        from .tvl1_fused import tvl1_single_scale_fused, fused_level_supported
+    solve = functools.partial(
+        _solve_level, tau=tau, lambda_=lambda_, theta=theta, nwarps=nwarps,
+        epsilon=epsilon, max_iters=max_iters, use_pallas=use_pallas,
+    )
 
     cw, ch_ = sizes[ns - 1]
     u = jnp.zeros((ch_, cw, 2), jnp.float32)
+    u_fs = u
     for s in range(ns - 1, -1, -1):
         if s >= fs:
             a, b = pyr[s]
-            if use_pallas and fused_level_supported(*a.shape):
-                # whole-level fused kernel (warp + all iterations in one
-                # launch) — the per-launch overhead dominates every level.
-                # Coarse levels check convergence less often: the
-                # while-round boundary (err reduce + state flush) is the
-                # dominant fixed cost when planes are tiny, and running a
-                # few iterations past the stopping point only brings the
-                # iterate closer to the fixed point.
-                npx = a.shape[0] * a.shape[1]
-                k_check = int(os.environ.get(
-                    "BNLK_TVL1_KC_FINE" if npx > 200_000
-                    else "BNLK_TVL1_KC_COARSE",
-                    "8" if npx > 200_000 else "24"))
-                u = tvl1_single_scale_fused(
-                    a, b, u, tau=tau, lambda_=lambda_, theta=theta,
-                    nwarps=nwarps, epsilon=epsilon, k_check=k_check,
-                    max_iters=max_iters,
-                    state_dtype=os.environ.get(
-                        "BNLK_TVL1_STATE_DTYPE", "float32"),
-                )
-            elif use_pallas:
-                if isinstance(lambda_, jax.core.Tracer):
-                    # the tiled fallback kernel bakes lambda in at compile
-                    # time; levels beyond the fused plan can't sweep it
-                    raise ValueError(
-                        "traced lambda_ requires the fused TV-L1 backend "
-                        f"(level {a.shape} exceeds its VMEM plan); pass a "
-                        "python float or reduce the level size/fscale"
-                    )
-                u = tvl1_single_scale_pallas(
-                    a, b, u, tau=tau, lambda_=lambda_, theta=theta,
-                    nwarps=nwarps, epsilon=epsilon,
-                    max_iterations=max_iters,
-                )
-            else:
-                u = tvl1_flow_single_scale(
-                    a, b, u, tau=tau, lambda_=lambda_, theta=theta,
-                    nwarps=nwarps, epsilon=epsilon, max_iters=max_iters,
-                )
+            u = solve(a, b, u)
+            if s == fs:
+                u_fs = u
         if s == 0:
             break
         nw, nh = sizes[s - 1]
         u = jnp.stack(
             [zoom_in(u[..., 0], nw, nh), zoom_in(u[..., 1], nw, nh)], axis=-1
         ) * (1.0 / zfactor)
+    if return_carry:
+        return u, u_fs
     return u
+
+
+def tvl1_flow_warm(
+    i0: jnp.ndarray,
+    i1: jnp.ndarray,
+    u_carry: jnp.ndarray,
+    tau: float = 0.25,
+    lambda_: float = 0.15,
+    theta: float = 0.3,
+    nscales: int = 100,
+    fscale: int = 0,
+    zfactor: float = 0.5,
+    nwarps: int = 5,
+    epsilon: float = 0.01,
+    backend: str = "auto",
+    max_iters: int | None = None,
+):
+    """Warm-started streaming TV-L1: solve ONLY the level-`fscale` scale,
+    initialized from the previous scan step's level-`fscale` flow.
+
+    TPU-first deviation from the reference driver (which re-solves the
+    whole pyramid from zero for every frame pair,
+    tvl1flow_lib.c:345-474): in a video the flow field evolves slowly, so
+    the previous frame's solution replaces the coarse-to-fine
+    initialization — the nwarps warp stages re-linearize around it and
+    absorb frame-to-frame motion changes.  The stopping rule, solver and
+    upsample chain are the reference's own; only the INITIAL ITERATE
+    differs, and the fixed point it converges to is parameter-identical.
+    PSNR-gated: tools/flow_warm_gate.py.
+
+    u_carry: (h_fs, w_fs, 2) from flow_carry_shape / a previous call.
+    Returns (flow_full (H, W, 2), u_fs_new).
+    """
+    if max_iters is None:
+        max_iters = int(os.environ.get("BNLK_TVL1_MAXIT", str(MAX_ITERATIONS)))
+    i0 = luma(jnp.asarray(i0, jnp.float32))
+    i1 = luma(jnp.asarray(i1, jnp.float32))
+    h, w = i0.shape
+    ns = num_scales(w, h, nscales, zfactor)
+    fs = min(fscale, ns)
+
+    a, b = _prep_pair(i0, i1)
+    sizes = [(w, h)]
+    for _ in range(fs):
+        pw, ph = sizes[-1]
+        sizes.append(zoom_size(pw, ph, zfactor))
+        a, b = zoom_out(a, zfactor), zoom_out(b, zfactor)
+
+    u_fs = _solve_level(
+        a, b, u_carry.astype(jnp.float32), tau=tau, lambda_=lambda_,
+        theta=theta, nwarps=nwarps, epsilon=epsilon, max_iters=max_iters,
+        use_pallas=_use_pallas_backend(backend),
+    )
+    return _upsample_chain(u_fs, sizes, fs, zfactor), u_fs
 
 
 def flow_energy(i0, i1, flow, lambda_: float = 0.15) -> jnp.ndarray:

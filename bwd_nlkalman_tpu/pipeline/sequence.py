@@ -56,6 +56,19 @@ class FlowConfig:
     epsilon: float = 0.01
     # None = the reference's MAX_ITERATIONS (300), or BNLK_TVL1_MAXIT env
     max_iters: int | None = None
+    # warm-start the scan's flow from the previous step's level-fscale
+    # solution instead of re-solving the pyramid from zero every frame
+    # (TPU-first streaming deviation; PSNR-gated, tools/flow_warm_gate.py)
+    warm_start: bool = False
+
+    def _kw(self, dyn):
+        dyn = dyn or {}
+        return dict(
+            tau=self.tau, lambda_=dyn.get("lambda_", self.lambda_),
+            theta=self.theta, nscales=self.nscales, fscale=self.fscale,
+            zfactor=self.zfactor, nwarps=self.nwarps, epsilon=self.epsilon,
+            max_iters=dyn.get("max_iters", self.max_iters),
+        )
 
     def flow(self, i0, i1, dyn=None):
         """dyn: optional dict of TRACED overrides — 'max_iters' and
@@ -63,14 +76,16 @@ class FlowConfig:
         (training searches over the script's DW data weight,
         tools/flow_maxit_gate.py) reuses one compiled executable.
         Mirrors the NLK engines' dyn-dict pattern."""
-        dyn = dyn or {}
-        return tvl1_flow(
-            i0, i1, tau=self.tau,
-            lambda_=dyn.get("lambda_", self.lambda_), theta=self.theta,
-            nscales=self.nscales, fscale=self.fscale, zfactor=self.zfactor,
-            nwarps=self.nwarps, epsilon=self.epsilon,
-            max_iters=dyn.get("max_iters", self.max_iters),
-        )
+        return tvl1_flow(i0, i1, **self._kw(dyn))
+
+    def flow_cold_carry(self, i0, i1, dyn=None):
+        """Full-pyramid solve that also returns the warm-start carry."""
+        return tvl1_flow(i0, i1, return_carry=True, **self._kw(dyn))
+
+    def flow_warm(self, i0, i1, u_carry, dyn=None):
+        """Level-fscale-only solve initialized from the carried flow."""
+        from ..flow.tvl1 import tvl1_flow_warm
+        return tvl1_flow_warm(i0, i1, u_carry, **self._kw(dyn))
 
     def occ_th(self, dyn=None):
         return (dyn or {}).get("occ_threshold", self.occ_threshold)
@@ -98,7 +113,17 @@ def filter_frame_pair(
         return opp2rgb(f11), opp2rgb(f21)
 
     flow = flow_cfg.flow(luma(noisy), luma(flt2_prev), dyn=flow_dyn)
-    occ = occlusion_mask(flow, flow_cfg.occ_th(flow_dyn))
+    return _filter_with_flow(
+        noisy, flt1_prev, flt2_prev, flow,
+        flow_cfg.occ_th(flow_dyn), sigma, p1, p2,
+    )
+
+
+def _filter_with_flow(noisy, flt1_prev, flt2_prev, flow, occ_th, sigma,
+                      p1, p2):
+    """Two-pass filtering given an already-computed backward flow."""
+    n_opp = rgb2opp(noisy)
+    occ = occlusion_mask(flow, occ_th)
     # both previous outputs ride ONE gather: same flow => same validity
     c = noisy.shape[-1]
     both = jnp.concatenate([rgb2opp(flt1_prev), rgb2opp(flt2_prev)], axis=-1)
@@ -124,6 +149,32 @@ def filter_sequence(
         p2 = default_params(sigma, FilterMode.FLT2)
 
     f11_0, f21_0 = filter_frame_pair(noisy[0], None, None, sigma, p1, p2, flow_cfg)
+
+    if flow_cfg.warm_start and noisy.shape[0] > 1:
+        # frame 1 is peeled out of the scan: its flow runs the cold
+        # full pyramid and seeds the level-fscale carry; every further
+        # step warm-starts from the previous step's solution
+        flow1, u_fs = flow_cfg.flow_cold_carry(
+            luma(noisy[1]), luma(f21_0), dyn=flow_dyn)
+        f11_1, f21_1 = _filter_with_flow(
+            noisy[1], f11_0, f21_0, flow1,
+            flow_cfg.occ_th(flow_dyn), sigma, p1, p2)
+
+        def wstep(carry, frame):
+            flt1_prev, flt2_prev, u_c = carry
+            flow, u_c = flow_cfg.flow_warm(
+                luma(frame), luma(flt2_prev), u_c, dyn=flow_dyn)
+            f11, f21 = _filter_with_flow(
+                frame, flt1_prev, flt2_prev, flow,
+                flow_cfg.occ_th(flow_dyn), sigma, p1, p2)
+            return (f11, f21, u_c), (f11, f21)
+
+        _, (flt1_rest, flt2_rest) = jax.lax.scan(
+            wstep, (f11_1, f21_1, u_fs), noisy[2:]
+        )
+        flt1 = jnp.concatenate([f11_0[None], f11_1[None], flt1_rest], axis=0)
+        flt2 = jnp.concatenate([f21_0[None], f21_1[None], flt2_rest], axis=0)
+        return flt1, flt2
 
     def step(carry, frame):
         flt1_prev, flt2_prev = carry
@@ -241,14 +292,36 @@ def smooth_sequence(
 
     smo_last = flt2[-1]
 
+    def smooth_with_flow(frame_flt2, smo_next, flow):
+        occ = occlusion_mask(flow, flow_cfg.occ_th(flow_dyn))
+        w0, v0 = warp_bicubic_nan(rgb2opp(smo_next), flow, occ)
+        return opp2rgb(
+            nlkalman_smooth_frame(rgb2opp(frame_flt2), w0, v0, sigma, ps)
+        )
+
+    if flow_cfg.warm_start and flt2.shape[0] > 1:
+        # frame T-2 (the first one the reverse scan would process) is
+        # peeled out: cold pyramid seeds the carry, the rest warm-start
+        flow1, u_fs = flow_cfg.flow_cold_carry(
+            luma(flt2[-2]), luma(smo_last), dyn=flow_dyn)
+        smo_pen = smooth_with_flow(flt2[-2], smo_last, flow1)
+
+        def wstep(carry, frame_flt2):
+            smo_next, u_c = carry
+            flow, u_c = flow_cfg.flow_warm(
+                luma(frame_flt2), luma(smo_next), u_c, dyn=flow_dyn)
+            smo = smooth_with_flow(frame_flt2, smo_next, flow)
+            return (smo, u_c), smo
+
+        _, smo_rest = jax.lax.scan(
+            wstep, (smo_pen, u_fs), flt2[:-2], reverse=True)
+        return jnp.concatenate(
+            [smo_rest, smo_pen[None], smo_last[None]], axis=0)
+
     def step(carry, frame_flt2):
         smo_next = carry
         flow = flow_cfg.flow(luma(frame_flt2), luma(smo_next), dyn=flow_dyn)
-        occ = occlusion_mask(flow, flow_cfg.occ_th(flow_dyn))
-        w0, v0 = warp_bicubic_nan(rgb2opp(smo_next), flow, occ)
-        smo = opp2rgb(
-            nlkalman_smooth_frame(rgb2opp(frame_flt2), w0, v0, sigma, ps)
-        )
+        smo = smooth_with_flow(frame_flt2, smo_next, flow)
         return smo, smo
 
     _, smo_rest = jax.lax.scan(step, smo_last, flt2[:-1], reverse=True)

@@ -471,3 +471,68 @@ class TestColumnStrips:
                                          window_dtype="bfloat16")
         assert strips_supported(1080, 1920, 3, p, "filter", 2,
                                 window_dtype="bfloat16")
+
+
+class TestWarmStartFlow:
+    def test_fixed_point_stability(self, rng):
+        """Re-solving from the cold solution (warm carry) stays at the
+        solution: warm flow on the SAME pair ~ cold flow."""
+        from bwd_nlkalman_tpu.flow.tvl1 import (
+            tvl1_flow, tvl1_flow_warm, flow_carry_shape)
+
+        h, w = 48, 64
+        base = np.cumsum(np.cumsum(rng.normal(size=(h + 8, w + 8)), 0), 1)
+        base = ((base - base.min()) / (base.max() - base.min()) * 255
+                ).astype(np.float32)
+        i0 = jnp.asarray(base[4:4 + h, 4:4 + w])
+        i1 = jnp.asarray(base[2:2 + h, 5:5 + w])
+
+        kw = dict(fscale=1, nwarps=2, max_iters=40)
+        cold, u_fs = tvl1_flow(i0, i1, return_carry=True, **kw)
+        assert u_fs.shape == flow_carry_shape(h, w, fscale=1)
+        warm, u_fs2 = tvl1_flow_warm(i0, i1, u_fs, **kw)
+        assert u_fs2.shape == u_fs.shape
+        # the warm solve re-runs nwarps stages from the fixed point; it
+        # must not wander off (same minimizer, same parameters)
+        err = float(jnp.mean(jnp.abs(warm - cold)))
+        assert err < 0.05, err
+
+    def test_warm_sequence_matches_cold_quality(self, rng):
+        """filter+smooth with warm_start tracks the cold pipeline's PSNR
+        on a translating scene (small shapes, capped iterations)."""
+        from bwd_nlkalman_tpu.pipeline.sequence import (
+            filter_sequence, smooth_sequence, FlowConfig)
+
+        t, h, w = 5, 48, 64
+        clean = _scene(t, h, w, 1, rng)
+        sigma = 20.0
+        noisy = jnp.asarray(
+            clean + sigma * rng.standard_normal(clean.shape).astype(np.float32))
+
+        def psnr(x, ref):
+            mse = float(np.mean((np.asarray(x) - ref) ** 2))
+            return 20 * np.log10(255 / np.sqrt(mse))
+
+        res = {}
+        for ws in (False, True):
+            cfg = FlowConfig(warm_start=ws, max_iters=60)
+            _, f2 = filter_sequence(noisy, sigma, flow_cfg=cfg)
+            s1 = smooth_sequence(f2, sigma, flow_cfg=cfg)
+            res[ws] = (psnr(f2[1:], clean[1:]), psnr(s1[:-1], clean[:-1]))
+        assert res[True][0] > res[False][0] - 0.15, res
+        assert res[True][1] > res[False][1] - 0.15, res
+
+    def test_warm_sequence_shapes_tiny_t(self, rng):
+        """T=2 (empty warm scan) and T=3 paths are well-formed."""
+        from bwd_nlkalman_tpu.pipeline.sequence import (
+            filter_sequence, smooth_sequence, FlowConfig)
+
+        for t in (2, 3):
+            clean = _scene(t, 48, 64, 1, rng)
+            noisy = jnp.asarray(
+                clean + 10 * rng.standard_normal(clean.shape).astype(np.float32))
+            cfg = FlowConfig(warm_start=True, max_iters=8)
+            f1, f2 = filter_sequence(noisy, 10.0, flow_cfg=cfg)
+            assert f1.shape == noisy.shape and f2.shape == noisy.shape
+            s1 = smooth_sequence(f2, 10.0, flow_cfg=cfg)
+            assert s1.shape == noisy.shape
