@@ -344,6 +344,7 @@ def tvl1_flow_warm(
     epsilon: float = 0.01,
     backend: str = "auto",
     max_iters: int | None = None,
+    gate: bool = True,
 ):
     """Warm-started streaming TV-L1: solve ONLY the level-`fscale` scale,
     initialized from the previous scan step's level-`fscale` flow.
@@ -357,6 +358,17 @@ def tvl1_flow_warm(
     upsample chain are the reference's own; only the INITIAL ITERATE
     differs, and the fixed point it converges to is parameter-identical.
     PSNR-gated: tools/flow_warm_gate.py.
+
+    With `gate=True` (default) the carry is RESIDUAL-GATED: the mean
+    L1 data residual of i1 warped by the carry is compared against the
+    zero-flow residual at the fscale level, and when the carry does not
+    align at least as well as the identity (a scene cut, a motion
+    reversal — any stale carry) a `lax.cond` falls back to the full
+    cold coarse-to-fine pyramid for that frame.  The gate costs one
+    bicubic warp + two reductions at the fscale level; the cold branch
+    executes only when taken.  Ungated warm start loses >1 dB on the
+    motion-reversal scene (tools/flow_warm_gate.py `cut` config); gated
+    it matches the cold pipeline there by construction.
 
     u_carry: (h_fs, w_fs, 2) from flow_carry_shape / a previous call.
     Returns (flow_full (H, W, 2), u_fs_new).
@@ -376,11 +388,46 @@ def tvl1_flow_warm(
         sizes.append(zoom_size(pw, ph, zfactor))
         a, b = zoom_out(a, zfactor), zoom_out(b, zfactor)
 
-    u_fs = _solve_level(
-        a, b, u_carry.astype(jnp.float32), tau=tau, lambda_=lambda_,
-        theta=theta, nwarps=nwarps, epsilon=epsilon, max_iters=max_iters,
-        use_pallas=_use_pallas_backend(backend),
+    use_pallas = _use_pallas_backend(backend)
+    solve = functools.partial(
+        _solve_level, tau=tau, lambda_=lambda_, theta=theta, nwarps=nwarps,
+        epsilon=epsilon, max_iters=max_iters, use_pallas=use_pallas,
     )
+
+    def _warm(u0):
+        return solve(a, b, u0)
+
+    def _cold(u0):
+        # full coarse-to-fine below the fscale level, exactly like
+        # tvl1_flow (levels < fs are never solved there either)
+        del u0
+        pyr = [(a, b)]
+        cs = [sizes[-1]]
+        for _ in range(fs + 1, ns):
+            pa, pb = pyr[-1]
+            pyr.append((zoom_out(pa, zfactor), zoom_out(pb, zfactor)))
+            cs.append(zoom_size(*cs[-1]))
+        cw, ch_ = cs[-1]
+        u = jnp.zeros((ch_, cw, 2), jnp.float32)
+        for s in range(len(pyr) - 1, -1, -1):
+            u = solve(*pyr[s], u)
+            if s == 0:
+                break
+            nw, nh = cs[s - 1]
+            u = jnp.stack(
+                [zoom_in(u[..., 0], nw, nh), zoom_in(u[..., 1], nw, nh)],
+                axis=-1,
+            ) * (1.0 / zfactor)
+        return u
+
+    u0 = u_carry.astype(jnp.float32)
+    if gate:
+        bw = warp_bicubic_zero(b, u0[..., 0], u0[..., 1])
+        r_warm = jnp.mean(jnp.abs(a - bw))
+        r_zero = jnp.mean(jnp.abs(a - b))
+        u_fs = jax.lax.cond(r_warm <= r_zero, _warm, _cold, u0)
+    else:
+        u_fs = _warm(u0)
     return _upsample_chain(u_fs, sizes, fs, zfactor), u_fs
 
 

@@ -522,6 +522,48 @@ class TestWarmStartFlow:
         assert res[True][0] > res[False][0] - 0.15, res
         assert res[True][1] > res[False][1] - 0.15, res
 
+    def test_residual_gate_rejects_stale_carry(self, rng):
+        """A wrong-sign carry (motion reversal / scene cut) must trip the
+        residual gate: the gated warm flow falls back to the cold
+        coarse-to-fine pyramid and equals tvl1_flow exactly."""
+        from bwd_nlkalman_tpu.flow.tvl1 import tvl1_flow, tvl1_flow_warm
+
+        h, w = 48, 64
+        base = np.cumsum(np.cumsum(rng.normal(size=(h + 16, w + 16)), 0), 1)
+        base = ((base - base.min()) / (base.max() - base.min()) * 255
+                ).astype(np.float32)
+        i0 = jnp.asarray(base[8:8 + h, 8:8 + w])
+        i1 = jnp.asarray(base[4:4 + h, 8:8 + w])   # 4 px vertical motion
+
+        kw = dict(fscale=1, nwarps=2, max_iters=40)
+        cold, u_fs = tvl1_flow(i0, i1, return_carry=True, **kw)
+        stale = -u_fs  # exactly wrong direction
+        gated, _ = tvl1_flow_warm(i0, i1, stale, **kw)
+        np.testing.assert_array_equal(np.asarray(gated), np.asarray(cold))
+        # ungated from the same stale carry is measurably worse
+        ungated, _ = tvl1_flow_warm(i0, i1, stale, gate=False, **kw)
+        err_g = float(jnp.mean(jnp.abs(gated - cold)))
+        err_u = float(jnp.mean(jnp.abs(ungated - cold)))
+        assert err_g == 0.0
+        assert err_u > 0.1, (err_g, err_u)
+
+    def test_residual_gate_passes_good_carry(self, rng):
+        """A fixed-point carry passes the gate: gated == ungated warm."""
+        from bwd_nlkalman_tpu.flow.tvl1 import tvl1_flow, tvl1_flow_warm
+
+        h, w = 48, 64
+        base = np.cumsum(np.cumsum(rng.normal(size=(h + 8, w + 8)), 0), 1)
+        base = ((base - base.min()) / (base.max() - base.min()) * 255
+                ).astype(np.float32)
+        i0 = jnp.asarray(base[4:4 + h, 4:4 + w])
+        i1 = jnp.asarray(base[2:2 + h, 5:5 + w])
+
+        kw = dict(fscale=1, nwarps=2, max_iters=40)
+        _, u_fs = tvl1_flow(i0, i1, return_carry=True, **kw)
+        gated, _ = tvl1_flow_warm(i0, i1, u_fs, **kw)
+        ungated, _ = tvl1_flow_warm(i0, i1, u_fs, gate=False, **kw)
+        np.testing.assert_array_equal(np.asarray(gated), np.asarray(ungated))
+
     def test_warm_sequence_shapes_tiny_t(self, rng):
         """T=2 (empty warm scan) and T=3 paths are well-formed."""
         from bwd_nlkalman_tpu.pipeline.sequence import (
