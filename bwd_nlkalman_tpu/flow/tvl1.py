@@ -406,7 +406,7 @@ def tvl1_flow_warm(
         for _ in range(fs + 1, ns):
             pa, pb = pyr[-1]
             pyr.append((zoom_out(pa, zfactor), zoom_out(pb, zfactor)))
-            cs.append(zoom_size(*cs[-1]))
+            cs.append(zoom_size(*cs[-1], zfactor))
         cw, ch_ = cs[-1]
         u = jnp.zeros((ch_, cw, 2), jnp.float32)
         for s in range(len(pyr) - 1, -1, -1):
