@@ -330,6 +330,36 @@ def tvl1_flow(
     return u
 
 
+def warm_gate_ok(a, b, u0):
+    """Residual gate predicate for the warm-start carry.
+
+    Residuals are computed over the IN-FRAME valid footprint only: the
+    zero-fill warp puts |a| itself into the residual over the border band
+    that the carry pushes out of frame, which would inflate r_warm for ANY
+    nonzero carry and false-trip the gate on good carries.  The mask
+    reproduces warp_bicubic_zero's own out-flag (floor-based 4x4 footprint
+    leaving the frame) and is applied to BOTH sides; a carry that evicts
+    most of the frame is stale by construction.
+
+    a, b: prepped level-fscale images; u0: (h, w, 2) carry.
+    Returns (ok, r_warm, r_zero).
+    """
+    hh, ww = a.shape
+    yy, xx = jnp.meshgrid(
+        jnp.arange(hh, dtype=jnp.float32),
+        jnp.arange(ww, dtype=jnp.float32), indexing="ij")
+    bx = jnp.floor(xx + u0[..., 0]).astype(jnp.int32) - 1
+    by = jnp.floor(yy + u0[..., 1]).astype(jnp.int32) - 1
+    valid = ((bx >= 0) & (bx + 3 < ww) & (by >= 0) & (by + 3 < hh)
+             ).astype(jnp.float32)
+    n = jnp.maximum(valid.sum(), 1.0)
+    bw = warp_bicubic_zero(b, u0[..., 0], u0[..., 1])
+    r_warm = jnp.sum(jnp.abs(a - bw) * valid) / n
+    r_zero = jnp.sum(jnp.abs(a - b) * valid) / n
+    ok = (r_warm <= r_zero) & (valid.sum() >= 0.5 * hh * ww)
+    return ok, r_warm, r_zero
+
+
 def tvl1_flow_warm(
     i0: jnp.ndarray,
     i1: jnp.ndarray,
@@ -422,10 +452,8 @@ def tvl1_flow_warm(
 
     u0 = u_carry.astype(jnp.float32)
     if gate:
-        bw = warp_bicubic_zero(b, u0[..., 0], u0[..., 1])
-        r_warm = jnp.mean(jnp.abs(a - bw))
-        r_zero = jnp.mean(jnp.abs(a - b))
-        u_fs = jax.lax.cond(r_warm <= r_zero, _warm, _cold, u0)
+        ok, _, _ = warm_gate_ok(a, b, u0)
+        u_fs = jax.lax.cond(ok, _warm, _cold, u0)
     else:
         u_fs = _warm(u0)
     return _upsample_chain(u_fs, sizes, fs, zfactor), u_fs

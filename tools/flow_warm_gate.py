@@ -81,6 +81,41 @@ def main():
                     f"(wall {dt:.0f}s incl compile)",
                     flush=True,
                 )
+            print(f"{name:8s} {label:6s} gate: "
+                  + gate_take_rate(nz, sigma), flush=True)
+
+
+def gate_take_rate(noisy, sigma):
+    """How often the residual gate actually takes the warm branch on this
+    content: replays the filter scan's flow chain frame by frame and
+    evaluates warm_gate_ok on each carry (ADVICE r3: record the rate)."""
+    import jax.numpy as jnp
+    from bwd_nlkalman_tpu.flow.tvl1 import (
+        tvl1_flow, tvl1_flow_warm, warm_gate_ok, _prep_pair, num_scales,
+    )
+    from bwd_nlkalman_tpu.pipeline.sequence import (
+        filter_sequence, FlowConfig)
+    from bwd_nlkalman_tpu.flow.tvl1 import luma
+    from bwd_nlkalman_tpu.ops.zoom import zoom_out
+
+    cfg = FlowConfig(warm_start=True)
+    flt1, flt2 = filter_sequence(jnp.asarray(noisy), sigma, flow_cfg=cfg)
+    kw = dict(fscale=cfg.fscale, lambda_=cfg.lambda_, nwarps=cfg.nwarps)
+    takes = []
+    _, u_c = tvl1_flow(luma(jnp.asarray(noisy[1])), luma(flt2[0]),
+                       return_carry=True, **kw)
+    for t in range(2, noisy.shape[0]):
+        i0, i1 = luma(jnp.asarray(noisy[t])), luma(flt2[t - 1])
+        a, b = _prep_pair(i0, i1)
+        for _ in range(cfg.fscale):
+            a, b = zoom_out(a, cfg.zfactor), zoom_out(b, cfg.zfactor)
+        ok, rw, rz = warm_gate_ok(a, b, u_c)
+        takes.append(bool(ok))
+        _, u_c = tvl1_flow_warm(i0, i1, u_c, **kw)
+    if not takes:
+        return "n/a (T<3)"
+    return (f"warm branch taken {sum(takes)}/{len(takes)} steps "
+            f"({100.0 * sum(takes) / len(takes):.0f}%)")
 
 
 if __name__ == "__main__":
