@@ -105,21 +105,33 @@ def main():
         return np.asarray(jax.device_get(o[:1, :1]))
 
     # headline: the PRODUCTION scan drivers (pipeline.sequence) — the
-    # whole clip is one dispatch, like nlkalman-seq.sh end to end
+    # whole clip is one dispatch, like nlkalman-seq.sh end to end, with
+    # the warm-started streaming TV-L1 (residual-gated; PSNR-validated by
+    # tools/flow_warm_gate.py: scene content takes the warm branch 100%
+    # of steps at identical PSNR, scene cuts fall back to the cold
+    # pyramid)
     from bwd_nlkalman_tpu.pipeline.sequence import (
         filter_sequence, smooth_sequence)
 
-    def scan_pipeline(noisy_frames):
-        _, flt2 = filter_sequence(noisy_frames, sigma, p1, p2, cfg)
-        return smooth_sequence(flt2, sigma, ps, cfg)
+    cfg_warm = FlowConfig(warm_start=True)
+
+    def scan_pipeline(noisy_frames, c):
+        _, flt2 = filter_sequence(noisy_frames, sigma, p1, p2, c)
+        return smooth_sequence(flt2, sigma, ps, c)
 
     # warm at the IDENTICAL shape: the scan jits specialize on the frame
     # count, so a shorter warmup clip would leave the timed call compiling
-    sync(scan_pipeline(noisy)[0])
+    sync(scan_pipeline(noisy, cfg_warm)[0])
     t0 = time.perf_counter()
-    sync(scan_pipeline(noisy)[0])
+    sync(scan_pipeline(noisy, cfg_warm)[0])
     dt = time.perf_counter() - t0
     fps = frames / dt
+
+    # cold-flow scan (the reference's own per-frame full-pyramid recompute)
+    sync(scan_pipeline(noisy, cfg)[0])
+    t0 = time.perf_counter()
+    sync(scan_pipeline(noisy, cfg)[0])
+    cold_fps = frames / (time.perf_counter() - t0)
 
     # worst case: white-noise texture as the clean signal (the r01/r02
     # content) — TV-L1 never converges there and runs to its iteration
@@ -130,9 +142,9 @@ def main():
     )[..., None]
     noisy_wc = jnp.asarray(
         wc + sigma * rng.standard_normal(wc.shape).astype(np.float32))
-    sync(scan_pipeline(noisy_wc)[0])
+    sync(scan_pipeline(noisy_wc, cfg_warm)[0])
     t0 = time.perf_counter()
-    sync(scan_pipeline(noisy_wc)[0])
+    sync(scan_pipeline(noisy_wc, cfg_warm)[0])
     wc_fps = frames / (time.perf_counter() - t0)
 
     # per-frame streaming latency (host-dispatched steps), for reference
@@ -259,19 +271,39 @@ def main():
         except Exception as e:  # never sink the headline metric
             ms_txt = f"; msnlkalman: failed ({type(e).__name__})"
 
+    # MFU / roofline accounting for the hot kernels (tools/mfu.py):
+    # algorithmic FLOPs vs v5e VPU peak — the NLK passes and TV-L1 are
+    # VPU/VMEM-bound, not MXU-bound, so this is the binding roofline
+    mfu = {}
+    if os.environ.get("BENCH_MFU", "1") != "0":
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"))
+            from mfu import measure as mfu_measure
+            mfu = {k: round(v["vpu_util"], 4)
+                   for k, v in mfu_measure().items()}
+        except Exception as e:
+            mfu = {"error": type(e).__name__}
+
     print(json.dumps({
         "metric": (
             f"{h}p gray full-pipeline frames/sec/chip at sigma={sigma:g} "
-            f"(2 TV-L1 flows + 2-pass filter + RTS smoother per frame; "
+            f"(2 TV-L1 flows + 2-pass filter + RTS smoother per frame, "
+            f"warm-started gated streaming flow; "
             f"structured-scene content per the parity protocol; "
+            f"cold-flow (reference full-pyramid-every-frame) scan: "
+            f"{cold_fps:.2f} fps; "
             f"worst-case white-noise-texture content (the r01/r02 signal, "
             f"TV-L1 pinned at its 300-iteration cap): {wc_fps:.2f} fps; "
             f"streaming per-frame latency: {lat_fps:.2f} fps"
-            f"{agg_txt}{ms_txt})"
+            f"{agg_txt}{ms_txt}; "
+            f"kernel VPU-roofline utilization (algorithmic FLOPs / v5e "
+            f"VPU peak): {mfu})"
         ),
         "value": round(fps, 3),
         "unit": "frames/sec",
         "vs_baseline": round(fps / 30.0, 4),
+        "mfu": mfu,
     }))
 
 

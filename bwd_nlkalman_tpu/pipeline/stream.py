@@ -51,11 +51,7 @@ def _jitted_steps(sigma: float, p1: NLKParams, p2: NLKParams,
     def first(noisy):
         return filter_frame_pair(noisy, None, None, sigma, p1, p2, flow_cfg)
 
-    @jax.jit
-    def step(noisy, flt1_prev, flt2_prev, smo_prev):
-        """Filter frame t (+ fsmo-smooth it); all previous outputs ride
-        ONE warp (same flow => same validity), like fsmo_sequence."""
-        flow = flow_cfg.flow(luma(noisy), luma(flt2_prev))
+    def _body(noisy, flt1_prev, flt2_prev, smo_prev, flow):
         occ = occlusion_mask(flow, flow_cfg.occ_threshold)
         n_opp = rgb2opp(noisy)
         c = noisy.shape[-1]
@@ -76,6 +72,29 @@ def _jitted_steps(sigma: float, p1: NLKParams, p2: NLKParams,
         return opp2rgb(f11), opp2rgb(f21), smo
 
     @jax.jit
+    def step(noisy, flt1_prev, flt2_prev, smo_prev):
+        """Filter frame t (+ fsmo-smooth it); all previous outputs ride
+        ONE warp (same flow => same validity), like fsmo_sequence."""
+        flow = flow_cfg.flow(luma(noisy), luma(flt2_prev))
+        return _body(noisy, flt1_prev, flt2_prev, smo_prev, flow)
+
+    @jax.jit
+    def step_seed(noisy, flt1_prev, flt2_prev, smo_prev):
+        """Like step, but also returns the level-fscale flow carry
+        (cold full-pyramid solve) to seed warm-started streaming."""
+        flow, u_fs = flow_cfg.flow_cold_carry(luma(noisy), luma(flt2_prev))
+        return _body(noisy, flt1_prev, flt2_prev, smo_prev, flow) + (u_fs,)
+
+    @jax.jit
+    def step_warm(noisy, flt1_prev, flt2_prev, smo_prev, u_carry):
+        """Warm-started per-frame step: the flow solves ONLY the
+        level-fscale scale from the carried previous solution
+        (residual-gated; flow/tvl1.tvl1_flow_warm)."""
+        flow, u_fs = flow_cfg.flow_warm(luma(noisy), luma(flt2_prev),
+                                        u_carry)
+        return _body(noisy, flt1_prev, flt2_prev, smo_prev, flow) + (u_fs,)
+
+    @jax.jit
     def lag1(f_prev, f_cur):
         """lsmo: smooth flt2_{t-1} against flt2_t along the forward flow
         (lsmo_sequence step)."""
@@ -86,7 +105,7 @@ def _jitted_steps(sigma: float, p1: NLKParams, p2: NLKParams,
             nlkalman_smooth_frame(rgb2opp(f_prev), w0, v0, sigma, ps)
         )
 
-    return first, step, lag1
+    return first, step, lag1, step_seed, step_warm
 
 
 class StreamingDenoiser:
@@ -123,6 +142,7 @@ class StreamingDenoiser:
         self.flt2 = None
         self.smo = None     # fsmo: smoothed current frame
         self.lsm = None     # lsmo: smoothed PREVIOUS frame
+        self.u_fs = None    # warm-start: level-fscale flow carry
         self.index = -1
 
     def _fns(self):
@@ -133,15 +153,23 @@ class StreamingDenoiser:
         """Filter one frame; advances the recursion state."""
         import jax.numpy as jnp
 
-        first, step, lag1 = self._fns()
+        first, step, lag1, step_seed, step_warm = self._fns()
         frame = jnp.asarray(np.asarray(noisy_frame, np.float32))
         self.lsm = None
         if self.flt2 is None:
             f1, f2 = first(frame)
             smo = f2                      # smo_first = flt2_first (:58)
         else:
-            f1, f2, smo = step(frame, self.flt1, self.flt2,
-                               self.smo if self.smo is not None else self.flt2)
+            smo_prev = self.smo if self.smo is not None else self.flt2
+            if self.flow_cfg.warm_start:
+                if self.u_fs is None:
+                    f1, f2, smo, self.u_fs = step_seed(
+                        frame, self.flt1, self.flt2, smo_prev)
+                else:
+                    f1, f2, smo, self.u_fs = step_warm(
+                        frame, self.flt1, self.flt2, smo_prev, self.u_fs)
+            else:
+                f1, f2, smo = step(frame, self.flt1, self.flt2, smo_prev)
             if self.smoother == "lsmo":
                 self.lsm = lag1(self.flt2, f2)
         self.flt1, self.flt2 = f1, f2
@@ -167,6 +195,7 @@ class StreamingDenoiser:
             flt1=np.asarray(self.flt1) if self.flt1 is not None else np.zeros(0),
             flt2=np.asarray(self.flt2) if self.flt2 is not None else np.zeros(0),
             smo=np.asarray(self.smo) if self.smo is not None else np.zeros(0),
+            u_fs=np.asarray(self.u_fs) if self.u_fs is not None else np.zeros(0),
             sigma=self.sigma,
         )
 
@@ -192,6 +221,8 @@ class StreamingDenoiser:
             self.flt2 = jnp.asarray(z["flt2"])
         if "smo" in z and z["smo"].size:
             self.smo = jnp.asarray(z["smo"])
+        if "u_fs" in z and z["u_fs"].size:
+            self.u_fs = jnp.asarray(z["u_fs"])
 
     def restore_from(self, flt1, flt2, index: int, smo=None) -> None:
         """Resume from in-memory/disk artifacts (frame-granular resume)."""
