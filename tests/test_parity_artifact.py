@@ -1,0 +1,59 @@
+"""Versioned real-scale parity artifact gate (VERDICT r3 #5).
+
+PARITY_540.json is produced by `python tools/parity_scale.py 540g`
+(ours on the chip, the C reference's nlkalman-seq.sh on CPU, identical
+noisy input at 540p).  This test asserts the recorded deltas meet the
+BASELINE criterion (>= -0.05 dB), so a regression recorded by a re-run
+fails CI.  Set BNLK_PARITY_RERUN=1 (with the reference built) to
+re-measure our side against the artifact's recorded C numbers on the
+current backend.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+ART = os.path.join(ROOT, "PARITY_540.json")
+
+
+def _load():
+    if not os.path.exists(ART):
+        pytest.skip("PARITY_540.json not generated yet")
+    with open(ART) as fh:
+        return json.load(fh)
+
+
+def test_parity_artifact_meets_baseline():
+    art = _load()
+    assert art["delta_flt2"] >= -0.05, art
+    assert art["delta_smo1"] >= -0.05, art
+    # the artifact must describe the 540p protocol it claims
+    assert (art["h"], art["w"], art["sigma"]) == (540, 960, 20.0)
+
+
+@pytest.mark.skipif(os.environ.get("BNLK_PARITY_RERUN") != "1",
+                    reason="set BNLK_PARITY_RERUN=1 to re-measure (slow)")
+def test_parity_rerun_vs_recorded_c():
+    """Re-run OUR pipeline on the artifact protocol and compare against
+    the RECORDED C PSNRs (no C re-run needed)."""
+    art = _load()
+    import jax.numpy as jnp
+
+    from bwd_nlkalman_tpu.pipeline import (
+        add_noise_sequence, denoise_sequence, sequence_psnr,
+    )
+    from test_pipeline import make_sequence
+
+    rng = np.random.default_rng(77)
+    t = art["t"]
+    clean = make_sequence(rng, t=t, h=art["h"], w=art["w"], c=art["c"])
+    noisy = add_noise_sequence(clean, art["sigma"],
+                               seeds=[700 + i for i in range(t)])
+    flt1, flt2, smo1 = denoise_sequence(jnp.asarray(noisy), art["sigma"])
+    p2 = sequence_psnr(clean, np.asarray(flt2))["psnr"]
+    ps = sequence_psnr(clean, np.asarray(smo1))["psnr"]
+    assert p2 > art["psnr_c_flt2"] - 0.05
+    assert ps > art["psnr_c_smo1"] - 0.05

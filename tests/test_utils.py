@@ -115,3 +115,69 @@ def test_plambda_calc_mode():
     assert abs(plambda_calc("255 12.5 / log10 20 *")
                - 20 * math.log10(255 / 12.5)) < 1e-4
     assert plambda_calc("3 4 2 ^ +") == 19.0
+
+
+# --- imprintf cross-validation against the built C binary (VERDICT r3 #8) ---
+
+import os
+import subprocess
+
+REFBIN = os.environ.get("BNLK_REFBIN", "/tmp/refbuild/bin")
+has_imprintf_ref = os.path.exists(os.path.join(REFBIN, "imprintf"))
+
+
+@pytest.mark.skipif(not has_imprintf_ref, reason="reference binaries not built")
+@pytest.mark.parametrize("shape,seed", [((17, 23, 1), 7), ((16, 20, 1), 8),
+                                        ((11, 13, 3), 9)])
+def test_imprintf_vs_c(tmp_path, shape, seed):
+    """Every sample-level directive vs the C imprintf on random images,
+    including the percentile indexing of imprintf.c:496-507 and the
+    non-averaging median of imprintf.c:372."""
+    from bwd_nlkalman_tpu.io import write_tiff
+
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(-50, 300, shape).astype(np.float32)
+    # duplicate some values so %k is nontrivial
+    x[0, 0] = x[1, 1]
+    p = str(tmp_path / "x.tif")
+    write_tiff(p, x)
+    fmt = ("%v %n %N %i %a %m %e %r %s %k %y %Y %w %h %c %d "
+           "%q[0] %q[25] %q[50] %q[75] %q[100] %b %V %S")
+    c = subprocess.run([os.path.join(REFBIN, "imprintf"), fmt, p],
+                       capture_output=True, text=True, check=True)
+    ours = imprintf(fmt, x)
+    c_tok = c.stdout.strip().replace(",", " ").split()
+    py_tok = ours.strip().replace(",", " ").split()
+    assert len(c_tok) == len(py_tok)
+    # %q tokens: the C Release build's -ffast-math reciprocal can land
+    # the percentile index ONE low ((factor*q)*(1/100) truncation), so
+    # accept the adjacent sorted sample below ours
+    nq = fmt.split().index("%q[0]")
+    q_idx = set(range(nq, nq + 5))
+    srt = np.sort(x[~np.isnan(x)].ravel())
+    for i, (a, b) in enumerate(zip(c_tok, py_tok)):
+        fa, fb = float(a), float(b)
+        if i in q_idx and fa != pytest.approx(fb, rel=2e-5):
+            j = int(np.argmin(np.abs(srt - np.float32(fb))))
+            adj = float(srt[max(j - 1, 0)])
+            assert fa == pytest.approx(adj, rel=2e-5), (
+                f"%q token {i}: C {a} vs ours {b} (adjacent {adj})")
+            continue
+        assert fa == pytest.approx(fb, rel=2e-5, abs=1e-4), (
+            f"token {i}: C {a} vs ours {b}\nC : {c.stdout.strip()}\nPY: {ours}")
+
+
+@pytest.mark.skipif(not has_imprintf_ref, reason="reference binaries not built")
+def test_imprintf_vs_c_even_median(tmp_path):
+    """Even sample count: the C median is sorted[n/2], not a midpoint
+    average (imprintf.c:372)."""
+    from bwd_nlkalman_tpu.io import write_tiff
+
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0, 255, (10, 10, 1)).astype(np.float32)
+    p = str(tmp_path / "x.tif")
+    write_tiff(p, x)
+    c = subprocess.run([os.path.join(REFBIN, "imprintf"), "%m", p],
+                       capture_output=True, text=True, check=True)
+    assert float(c.stdout.strip()) == pytest.approx(
+        float(imprintf("%m", x)), rel=1e-5)

@@ -8,8 +8,10 @@ pipeline cold vs warm and prints PSNR + wall time; a scene-CUT variant
 (the adversarial case for a stale carry: the motion field flips sign
 mid-clip) checks the warp stages re-converge from a wrong init.
 
-Usage: python tools/flow_warm_gate.py [config ...]
-  default: 540g 1080g
+Usage: python tools/flow_warm_gate.py [config ...] [--warm-nwarps N]
+                                        [--warm-maxit N]
+  default: 540g 1080g.  --warm-nwarps/--warm-maxit set the REDUCED warm
+  effort (FlowConfig.warm_nwarps/warm_max_iters) to gate.
 """
 
 import os
@@ -30,11 +32,14 @@ CONFIGS = {
 }
 
 
+WARM_KW = {}
+
+
 def run(clean, noisy, sigma, warm):
     from bwd_nlkalman_tpu.pipeline import denoise_sequence, sequence_psnr
     from bwd_nlkalman_tpu.pipeline.sequence import FlowConfig
 
-    cfg = FlowConfig(warm_start=warm)
+    cfg = FlowConfig(warm_start=warm, **(WARM_KW if warm else {}))
     t0 = time.perf_counter()
     _, flt2, smo = denoise_sequence(noisy, sigma, flow_cfg=cfg)
     flt2 = np.asarray(flt2)
@@ -46,7 +51,16 @@ def run(clean, noisy, sigma, warm):
 
 
 def main():
-    names = sys.argv[1:] or ["540g", "1080g"]
+    args = sys.argv[1:]
+    if "--warm-nwarps" in args:
+        i = args.index("--warm-nwarps")
+        WARM_KW["warm_nwarps"] = int(args[i + 1]); del args[i:i + 2]
+    if "--warm-maxit" in args:
+        i = args.index("--warm-maxit")
+        WARM_KW["warm_max_iters"] = int(args[i + 1]); del args[i:i + 2]
+    names = args or ["540g", "1080g"]
+    if WARM_KW:
+        print(f"warm effort: {WARM_KW}", flush=True)
 
     import jax
     plat = os.environ.get("JAX_PLATFORMS")

@@ -98,6 +98,24 @@ def main():
     with open("/tmp/parity_scale.log", "a") as fh:
         fh.write(line + "\n")
 
+    # versioned artifact (VERDICT r3 #5): tests/test_parity_artifact.py
+    # asserts the recorded deltas meet the BASELINE criterion.
+    if cfgname == "540g":
+        import json
+
+        art = dict(
+            config=cfgname, h=h, w=w, c=c, sigma=sigma, t=t,
+            protocol="make_sequence(rng 77) + add_noise_sequence(seeds 700..)",
+            psnr_c_flt2=round(p_c2, 4), psnr_ours_flt2=round(p_j2, 4),
+            psnr_c_smo1=round(p_cs, 4), psnr_ours_smo1=round(p_js, 4),
+            delta_flt2=round(p_j2 - p_c2, 4), delta_smo1=round(p_js - p_cs, 4),
+            backend=jax.default_backend(),
+        )
+        root = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..")
+        with open(os.path.join(root, "PARITY_540.json"), "w") as fh:
+            json.dump(art, fh, indent=1)
+        print("wrote PARITY_540.json", flush=True)
+
 
 if __name__ == "__main__":
     main()
