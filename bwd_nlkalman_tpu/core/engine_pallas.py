@@ -417,6 +417,28 @@ def _fused_pass_kernel(
             cidx = ox + j_base * step
             return cidx % step, cidx // step - j_base       # phase, lane delta
 
+        def inner_base(oyi):
+            """bits row of the FIRST inner-ox offset at row oyi.
+
+            The inner-ox offsets (|ox - rad| <= rad_t) are CONTIGUOUS in
+            the packed layout for every oyi (see obit), so phases A/C/E
+            batch their bits traffic and mask algebra as ONE
+            (n_in1, C4p) tensor op instead of n_in1 row ops."""
+            ir = (oyi >= oy0) & (oyi < oy0 + n_in1)
+            g = jnp.where(oyi < oy0, oyi, oyi - n_in1)
+            return jnp.where(
+                ir, (oyi - oy0) * n_in1, n_ii + g * n_off1 + (rad - rad_t)
+            )
+
+        def inner_bits(oyi):
+            """(n_in1, C4p) bits rows of the inner-ox group.  The rows are
+            contiguous at inner_base(oyi), but a dynamic multi-row vector
+            load needs a provably 8-aligned offset (Mosaic), so load
+            per-row and concatenate in registers."""
+            ib = inner_base(oyi)
+            return jnp.concatenate(
+                [bits_s[pl.ds(ib + i, 1)] for i in range(n_in1)], axis=0)
+
         # ---- phase A: distances -> masked int32 bits ----
         # INF-prefill: the inner block always; the packed outer rows only
         # when some site needs the spatial fallback (they are only read
@@ -440,6 +462,43 @@ def _fused_pass_kernel(
         blk_gate = (
             mode == "filter" and has_prev and oxis_outer_a and c4p >= 256
         )
+
+        # hoisted inner-ox candidate masks (loop-invariant: fori_loop
+        # closures lift them out of the per-oyi bodies).  candi stacks
+        # cand_x_mask of the n_in1 inner offsets; the filter's temporal-
+        # radius restriction (off_candidates) becomes ONE batched select.
+        # (keep the select operands in i32 — Mosaic can neither bitcast
+        # nor select/trunci i1 vregs; compare to bool only at the end)
+        candi_i = jnp.concatenate(
+            [cand_x_mask(oxi).astype(jnp.int32) for oxi in oxis_inner_a],
+            axis=0,
+        )                                                   # (n_in1, C4p)
+        if mode == "filter" and has_prev:
+            candi_np_i = jnp.where(prev_p, 0, candi_i)
+        else:
+            candi_np_i = candi_i
+
+        def inner_cand(ir):
+            """Batched off_candidates for the inner-ox group (ir is the
+            group-uniform inner-oy scalar)."""
+            if mode == "filter" and has_prev:
+                ir_vec = (
+                    jnp.zeros((1, c4p), jnp.int32) + ir.astype(jnp.int32)
+                ) > 0
+                return jnp.where(ir_vec, candi_i, candi_np_i) > 0
+            return candi_i > 0
+
+        def inner_wv(oyi):
+            """Batched warped-prev patch-validity rows for the inner-ox
+            offsets (n_in1 cheap 1-row rolls)."""
+            rows = [
+                _roll(
+                    band_d[bslot(oyi), off_geom(oyi, oxi)[0], f : f + 1, :],
+                    -off_geom(oyi, oxi)[1], interpret,
+                ).astype(f32)
+                for oxi in oxis_inner_a
+            ]
+            return jnp.concatenate(rows, axis=0) > 0.5      # (n_in1, C4p)
 
         def phase_a(oyi, carry):
             qy = step * sr + (oyi - rad)
@@ -497,7 +556,38 @@ def _fused_pass_kernel(
 
             @pl.when(row_ok & (not_all_temp | ir_oy))
             def _():
-                group(oxis_inner_a, ir_oy)
+                # batched inner-ox group: distances per offset (the real
+                # work), then ONE masked bitcast/select; the bits rows are
+                # CONTIGUOUS (inner_base) but Mosaic only proves sublane
+                # alignment for single-row dynamic stores, so the store is
+                # per-row (VMEM traffic is identical)
+                rows = []
+                for oxi in oxis_inner_a:
+                    p, delta = off_geom(oyi, oxi)
+                    a = _roll(band_x[bslot(oyi), p], -delta,
+                              interpret).astype(f32)
+                    d = a - xp
+                    rows.append(
+                        jnp.sum(d * d, axis=0, keepdims=True) * inv_f)
+                dist = jnp.concatenate(rows, axis=0)        # (n_in1, C4p)
+                cand = inner_cand(ir_oy)
+                b = jnp.where(
+                    cand, jax.lax.bitcast_convert_type(dist, jnp.int32),
+                    inf_b)
+                ib = inner_base(oyi)
+                for i in range(n_in1):
+                    bits_s[pl.ds(ib + i, 1)] = b[i : i + 1]
+                if has_prev:
+                    # prevc == 0 exactly for outer-oy rows (cand subsets
+                    # ~prev_p there), so only inner-oy rows store pbits
+                    prevc = cand & inner_wv(oyi) & prev_p
+                    pb = jnp.where(prevc, b, inf_b)
+
+                    @pl.when(ir_oy)
+                    def _():
+                        pbase = (oyi - oy0) * n_in1
+                        for i in range(n_in1):
+                            pbits_s[pl.ds(pbase + i, 1)] = pb[i : i + 1]
 
             if oxis_outer_a and not blk_gate:
                 @pl.when(row_ok & not_all_temp)
@@ -673,7 +763,53 @@ def _fused_pass_kernel(
 
             @pl.when(row_ok & (not_all_temp | ir_oy))
             def _():
-                group(oxis_inner, ir_oy)
+                # batched inner-ox group: ONE contiguous bits read + ONE
+                # threshold compare + batched mask algebra; the per-
+                # offset (F, C4p) FMA chains (the flops) are unchanged
+                bmat = inner_bits(oyi)
+                cand = inner_cand(ir_oy)
+                sel1 = cand & (bmat <= th1)
+                s1f = sel1.astype(f32)
+                if has_prev:
+                    wvb = inner_wv(oyi)
+                    spc = sel1 & wvb & prev_p
+                    spf = spc.astype(f32)
+                    m0mb = (spc & (bmat <= thp)).astype(f32)
+                l_m1c = jnp.zeros((f, c4p), f32)
+                l_e2 = jnp.zeros((f, c4p), f32)
+                if has_prev:
+                    l_m0v = jnp.zeros((f, c4p), f32)
+                    l_e0 = jnp.zeros((f, c4p), f32)
+                    l_v01 = jnp.zeros((f, c4p), f32)
+                    l_m0 = jnp.zeros((f, c4p), f32)
+                for i, oxi in enumerate(oxis_inner):
+                    p, delta = off_geom(oyi, oxi)
+                    a = _roll(band_x[bslot(oyi), p], -delta,
+                              interpret).astype(f32)
+                    wc = a - xp
+                    t1 = s1f[i : i + 1] * wc
+                    l_m1c += t1
+                    l_e2 += t1 * wc
+                    if has_prev:
+                        dall = _roll(band_d[bslot(oyi), p], -delta,
+                                     interpret).astype(f32)
+                        dq = dall[:f]
+                        wdc = dq - xp
+                        t0 = spf[i : i + 1] * wdc
+                        l_m0v += t0
+                        l_e0 += t0 * wdc
+                        dxw = dq - a
+                        l_v01 += (spf[i : i + 1] * dxw) * dxw
+                        l_m0 += m0mb[i : i + 1] * dq
+                acc_m1c[:] += l_m1c
+                acc_e2[:] += l_e2
+                nrows_s[0:1] += jnp.sum(s1f, axis=0, keepdims=True)
+                if has_prev:
+                    acc_m0v[:] += l_m0v
+                    acc_e0[:] += l_e0
+                    acc_v01[:] += l_v01
+                    acc_m0[:] += l_m0
+                    nrows_s[1:2] += jnp.sum(spf, axis=0, keepdims=True)
 
             if oxis_outer and not blk_gate:
                 @pl.when(row_ok & not_all_temp)
@@ -779,14 +915,13 @@ def _fused_pass_kernel(
         # takes only a handful of static values — so the full-plane rolls
         # are hoisted out of the offset loop (one (1, C4p) memw roll per
         # offset remains)
-        group_oxis = list(oxis_inner)
-        if oxis_outer and not blk_gate:
-            group_oxis += oxis_outer     # non-block-gated outer uses group()
-        inner_deltas = sorted({off_geom(0, oxi)[1] for oxi in group_oxis})
+        inner_deltas = sorted({off_geom(0, oxi)[1] for oxi in oxis_inner})
         rg_d = {d: _roll(gspec, d, interpret) for d in inner_deltas}
         rbw_d = {d: _roll(bwspec, d, interpret) for d in inner_deltas}
         if smooth:
             rgd_d = {d: _roll(gdspec, d, interpret) for d in inner_deltas}
+
+        wgt_own = wgt * own_f32
 
         def phase_e(oyi, carry):
             qy = step * sr + (oyi - rad)
@@ -794,37 +929,35 @@ def _fused_pass_kernel(
             slot = jnp.mod(step * sr + oyi, ah)
             ir_oy = jnp.abs(oyi - rad) <= rad_t
 
-            def group(oxis, ir):
-                l_g, l_bw, l_gd = {}, {}, {}
-                for oxi in oxis:
-                    p, delta = off_geom(oyi, oxi)
-                    o = obit(oyi, oxi)
-                    b = bits_s[pl.ds(o, 1)]
-                    cand = off_candidates(oyi, oxi, ir)
-                    sel1 = cand & (b <= th1)
+            @pl.when(row_ok & (not_all_temp | ir_oy))
+            def _():
+                # batched inner-ox group: ONE bits read + batched member
+                # mask algebra; per offset only the (1, C4p) weight-row
+                # roll and the gain/bias plane FMAs remain
+                bmat = inner_bits(oyi)
+                cand = inner_cand(ir_oy)
+                sel1 = cand & (bmat <= th1)
+                if has_prev:
+                    prevc = sel1 & inner_wv(oyi) & prev_p
+                    m0sel_f = (prevc & (bmat <= thp)).astype(f32)
+                # select the member mask in f32 — Mosaic cannot lower a
+                # select between i1 vectors
+                if mode == "filter":
+                    memsp_f = (sel1 & (bmat <= tha)).astype(f32)
                     if has_prev:
-                        wv = _roll(
-                            band_d[bslot(oyi), p, f : f + 1, :], -delta,
-                            interpret
-                        ).astype(f32) > 0.5
-                        prevc = sel1 & wv & prev_p
-                        m0sel = prevc & (b <= thp)
-                    # select the member mask in f32 — Mosaic cannot lower
-                    # a select between i1 vectors
-                    if mode == "filter":
-                        memsp_f = (sel1 & (b <= tha)).astype(f32)
-                        if has_prev:
-                            mem_f = jnp.where(
-                                temporal, m0sel.astype(f32), memsp_f
-                            )
-                        else:
-                            mem_f = memsp_f
+                        mem_f = jnp.where(temporal, m0sel_f, memsp_f)
                     else:
-                        mem_f = (
-                            m0sel.astype(f32) if has_prev
-                            else jnp.zeros((1, c4p), f32)
-                        )
-                    memw = mem_f * wgt * own_f32
+                        mem_f = memsp_f
+                else:
+                    mem_f = (
+                        m0sel_f if has_prev
+                        else jnp.zeros((n_in1, c4p), f32)
+                    )
+                memw_b = mem_f * wgt_own
+                l_g, l_bw, l_gd = {}, {}, {}
+                for i, oxi in enumerate(oxis_inner):
+                    p, delta = off_geom(oyi, oxi)
+                    memw = memw_b[i : i + 1]
                     if smooth and oxi == rad:
                         center_f = (oyi == rad).astype(f32)
                         memw = memw + pass_w * center_f * own_f32
@@ -839,15 +972,7 @@ def _fused_pass_kernel(
                     if smooth:
                         agg_gd[slot, p] += l_gd[p]
 
-            @pl.when(row_ok & (not_all_temp | ir_oy))
-            def _():
-                group(oxis_inner, ir_oy)
-
-            if oxis_outer and not blk_gate:
-                @pl.when(row_ok & not_all_temp)
-                def _():
-                    group(oxis_outer, jnp.asarray(False))
-            elif oxis_outer:
+            if oxis_outer:
                 # outer offsets carry members only on the sparse
                 # spatial-mode lanes (cand & ~prev_p zeroes them
                 # elsewhere, so mem == memsp); most outer offsets have

@@ -375,6 +375,8 @@ def tvl1_flow_warm(
     backend: str = "auto",
     max_iters: int | None = None,
     gate: bool = True,
+    warm_nwarps: int | None = None,
+    warm_max_iters: int | None = None,
 ):
     """Warm-started streaming TV-L1: solve ONLY the level-`fscale` scale,
     initialized from the previous scan step's level-`fscale` flow.
@@ -423,9 +425,19 @@ def tvl1_flow_warm(
         _solve_level, tau=tau, lambda_=lambda_, theta=theta, nwarps=nwarps,
         epsilon=epsilon, max_iters=max_iters, use_pallas=use_pallas,
     )
+    # the warm branch may run at REDUCED effort (a converged carry needs
+    # fewer re-linearizations than a zero iterate; PSNR-gated via
+    # tools/flow_warm_gate.py); the cold fallback keeps full effort
+    solve_warm = functools.partial(
+        _solve_level, tau=tau, lambda_=lambda_, theta=theta,
+        nwarps=nwarps if warm_nwarps is None else warm_nwarps,
+        epsilon=epsilon,
+        max_iters=max_iters if warm_max_iters is None else warm_max_iters,
+        use_pallas=use_pallas,
+    )
 
     def _warm(u0):
-        return solve(a, b, u0)
+        return solve_warm(a, b, u0)
 
     def _cold(u0):
         # full coarse-to-fine below the fscale level, exactly like

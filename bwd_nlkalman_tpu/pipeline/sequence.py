@@ -60,6 +60,15 @@ class FlowConfig:
     # solution instead of re-solving the pyramid from zero every frame
     # (TPU-first streaming deviation; PSNR-gated, tools/flow_warm_gate.py)
     warm_start: bool = False
+    # reduced solver effort for WARM steps only: a converged carry needs
+    # fewer re-linearizations than the cold zero iterate (the reference
+    # always solves from zero with nwarps=5, tvl1flow_lib.c:410-436).
+    # None = same effort as cold.  PSNR-gated: tools/flow_warm_gate.py
+    # --warm-nwarps; measured EPE-vs-cold < 0.03 px at nwarps=3
+    # (tools/bench_flow_warm.py).  The residual gate still falls back to
+    # the full-effort cold pyramid on stale carries.
+    warm_nwarps: int | None = None
+    warm_max_iters: int | None = None
 
     def _kw(self, dyn):
         dyn = dyn or {}
@@ -85,7 +94,9 @@ class FlowConfig:
     def flow_warm(self, i0, i1, u_carry, dyn=None):
         """Level-fscale-only solve initialized from the carried flow."""
         from ..flow.tvl1 import tvl1_flow_warm
-        return tvl1_flow_warm(i0, i1, u_carry, **self._kw(dyn))
+        return tvl1_flow_warm(
+            i0, i1, u_carry, warm_nwarps=self.warm_nwarps,
+            warm_max_iters=self.warm_max_iters, **self._kw(dyn))
 
     def occ_th(self, dyn=None):
         return (dyn or {}).get("occ_threshold", self.occ_threshold)

@@ -99,5 +99,6 @@ def test_vs_c_script(seq_data, tmp_path):
     p_js = sequence_psnr(clean, np.asarray(smo1))["psnr"]
     print(f"flt2: C {p_c2:.2f} dB vs jax {p_j2:.2f} dB; "
           f"smo1: C {p_cs:.2f} dB vs jax {p_js:.2f} dB")
-    assert p_j2 > p_c2 - 0.3, f"flt2 parity: C {p_c2:.2f} vs jax {p_j2:.2f}"
-    assert p_js > p_cs - 0.3, f"smo1 parity: C {p_cs:.2f} vs jax {p_js:.2f}"
+    # BASELINE criterion: within 0.05 dB of the C pipeline (VERDICT r3 #5)
+    assert p_j2 > p_c2 - 0.05, f"flt2 parity: C {p_c2:.2f} vs jax {p_j2:.2f}"
+    assert p_js > p_cs - 0.05, f"smo1 parity: C {p_cs:.2f} vs jax {p_js:.2f}"
