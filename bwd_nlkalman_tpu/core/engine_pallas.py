@@ -920,6 +920,16 @@ def _fused_pass_kernel(
         rbw_d = {d: _roll(bwspec, d, interpret) for d in inner_deltas}
         if smooth:
             rgd_d = {d: _roll(gdspec, d, interpret) for d in inner_deltas}
+        # outer offsets take the dense (value-accumulating) path when the
+        # sparsity assumption fails — has_prev=False (first frame: every
+        # lane is spatial-mode, every offset has members on every row) or
+        # narrow c4p — so hoist their plane rolls too in that case
+        outer_dense = bool(oxis_outer) and not blk_gate
+        if outer_dense:
+            for d in sorted({off_geom(0, oxi)[1] for oxi in oxis_outer}):
+                if d not in rg_d:
+                    rg_d[d] = _roll(gspec, d, interpret)
+                    rbw_d[d] = _roll(bwspec, d, interpret)
 
         wgt_own = wgt * own_f32
 
@@ -972,14 +982,34 @@ def _fused_pass_kernel(
                     if smooth:
                         agg_gd[slot, p] += l_gd[p]
 
-            if oxis_outer:
-                # outer offsets carry members only on the sparse
-                # spatial-mode lanes (cand & ~prev_p zeroes them
+            if outer_dense:
+                # dense case (has_prev=False or narrow c4p): every offset
+                # has members on every firing row, so per-offset gating
+                # and unhoisted full-plane rolls would pay maximal cost —
+                # accumulate into VALUES per target phase with the
+                # hoisted rg_d/rbw_d rolls, one agg RMW per (slot, p)
+                @pl.when(row_ok & not_all_temp)
+                def _():
+                    l_g, l_bw = {}, {}
+                    for oxi in oxis_outer:
+                        p, delta = off_geom(oyi, oxi)
+                        o = obit(oyi, oxi)
+                        b = bits_s[pl.ds(o, 1)]
+                        cand = off_candidates(oyi, oxi, jnp.asarray(False))
+                        sel1 = cand & (b <= th1)
+                        memw = (sel1 & (b <= tha)).astype(f32) * wgt_own
+                        mwr = _roll(memw, delta, interpret)
+                        l_g[p] = l_g.get(p, 0.0) + mwr * rg_d[delta]
+                        l_bw[p] = l_bw.get(p, 0.0) + mwr * rbw_d[delta]
+                    for p in sorted(l_g):
+                        agg_g[slot, p] += l_g[p]
+                        agg_bw[slot, p] += l_bw[p]
+            elif oxis_outer:
+                # sparse case: outer offsets carry members only on the
+                # rare spatial-mode lanes (cand & ~prev_p zeroes them
                 # elsewhere, so mem == memsp); most outer offsets have
                 # NO member in this row — gate each offset on its member
-                # count and RMW the agg planes directly (the group-level
-                # value accumulation pays only when every offset
-                # contributes)
+                # count and RMW the agg planes directly
                 @pl.when(row_ok & not_all_temp)
                 def _():
                     for oxi in oxis_outer:

@@ -471,6 +471,28 @@ def tvl1_flow_warm(
     return _upsample_chain(u_fs, sizes, fs, zfactor), u_fs
 
 
+def warm_gate_probe(
+    i0, i1, u_carry,
+    fscale: int = 0, zfactor: float = 0.5, nscales: int = 100,
+):
+    """Evaluate the SAME residual gate tvl1_flow_warm applies, standalone.
+
+    Reproduces the warm path's image prep (joint normalization, presmooth,
+    zoom chain to the fscale level) and returns (ok, r_warm, r_zero) for
+    the given carry — so a driver/dryrun can assert which lax.cond branch
+    a warm scan step actually took, instead of asserting code it never ran.
+    """
+    i0 = luma(jnp.asarray(i0, jnp.float32))
+    i1 = luma(jnp.asarray(i1, jnp.float32))
+    h, w = i0.shape
+    ns = num_scales(w, h, nscales, zfactor)
+    fs = min(fscale, ns)
+    a, b = _prep_pair(i0, i1)
+    for _ in range(fs):
+        a, b = zoom_out(a, zfactor), zoom_out(b, zfactor)
+    return warm_gate_ok(a, b, u_carry.astype(jnp.float32))
+
+
 def flow_energy(i0, i1, flow, lambda_: float = 0.15) -> jnp.ndarray:
     """TV-L1 energy (energy_optic_flow, tvl1flow_lib.c:43-85) — test oracle."""
     i0 = luma(jnp.asarray(i0, jnp.float32))

@@ -126,6 +126,11 @@ def denoise_sequence_sharded(
 
     from ..flow.tvl1 import tvl1_flow, tvl1_flow_warm, flow_carry_shape
 
+    # reduced warm effort follows the single-device driver (FlowConfig
+    # .warm_nwarps / .warm_max_iters; None = full cold effort)
+    wkw = dict(fkw, warm_nwarps=flow_cfg.warm_nwarps,
+               warm_max_iters=flow_cfg.warm_max_iters)
+
     if flow_cfg.warm_start and noisy.shape[0] > 1:
         flow1, u_fs = tvl1_flow(luma(noisy[1]), luma(f21_0),
                                 return_carry=True, **fkw)
@@ -134,7 +139,7 @@ def denoise_sequence_sharded(
         def wstep(carry, frame):
             flt1_prev, flt2_prev, u_c = carry
             flow, u_c = tvl1_flow_warm(
-                luma(frame), luma(flt2_prev), u_c, **fkw)
+                luma(frame), luma(flt2_prev), u_c, **wkw)
             f11, f21 = filter_pair(frame, flt1_prev, flt2_prev, flow)
             return (f11, f21, u_c), (f11, f21)
 
@@ -180,7 +185,7 @@ def denoise_sequence_sharded(
         def wsstep(carry, frame_flt2):
             smo_next, u_c = carry
             flow, u_c = tvl1_flow_warm(
-                luma(frame_flt2), luma(smo_next), u_c, **fkw)
+                luma(frame_flt2), luma(smo_next), u_c, **wkw)
             smo = smooth_one(frame_flt2, smo_next, flow)
             return (smo, u_c), smo
 

@@ -131,6 +131,28 @@ def _sharded_pass_body(
     return jnp.where(covered[..., None], out / jnp.maximum(agg, 1e-6)[..., None], cur)
 
 
+def resolve_engine(local_h, w, ch, prms, mode):
+    """The 'auto' per-shard engine dispatch, exposed so callers (and the
+    driver dryrun) can report the engine that will ACTUALLY run: the
+    fused Pallas kernel on real TPU shards when its VMEM plan fits the
+    halo-extended block; v2 elsewhere (CPU meshes keep the fast compiled
+    path — pallas interpret is for parity tests only)."""
+    import os
+
+    try:
+        if jax.default_backend() == "tpu":
+            from ..core.engine_pallas import pallas_pass_supported
+
+            if pallas_pass_supported(
+                local_h, w, ch, prms, mode,
+                window_dtype=os.environ.get("BNLK_WINDOW_DTYPE", "float32"),
+            ):
+                return "pallas"
+    except Exception:  # pragma: no cover - no backend at all
+        pass
+    return "v2"
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("sigma", "prms", "mode", "has_prev", "has_basic", "mesh",
@@ -164,24 +186,7 @@ def _spatial_pass(
         raise ValueError(f"shard block {block} rows < halo {halo}; reduce sp")
 
     if engine == "auto":
-        # the fused kernel on real TPU shards when its VMEM plan fits the
-        # halo-extended block; v2 elsewhere (CPU meshes keep the fast
-        # compiled path — pallas interpret is for parity tests only)
-        import os
-
-        engine = "v2"
-        try:
-            if jax.default_backend() == "tpu":
-                from ..core.engine_pallas import pallas_pass_supported
-
-                if pallas_pass_supported(
-                    block + 2 * halo, w, ch, prms, mode,
-                    window_dtype=os.environ.get(
-                        "BNLK_WINDOW_DTYPE", "float32"),
-                ):
-                    engine = "pallas"
-        except Exception:  # pragma: no cover - no backend at all
-            pass
+        engine = resolve_engine(block + 2 * halo, w, ch, prms, mode)
 
     body = functools.partial(
         _sharded_pass_body, sigma=sigma, prms=prms, mode=mode,

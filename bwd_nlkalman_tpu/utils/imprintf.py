@@ -61,7 +61,11 @@ def imprintf(fmt: str, img) -> str:
             if vals.size == 0:
                 return "nan"
             srt = np.sort(vals)
-            pq = int(np.float32(vals.size - 1) * q) // 100
+            # C arithmetic exactly (imprintf.c:505-506): float32 product,
+            # float32 division by 100, THEN truncation — the order matters
+            # for large sample counts where the product is inexact
+            pq = int(np.float32(np.float32(vals.size - 1) * q)
+                     / np.float32(100))
             return _fmt(srt[pq])
         if d == "v":
             return _fmt(vals.mean()) if vals.size else "nan"
