@@ -108,11 +108,18 @@ def measure():
     def sync(o):
         return np.asarray(jax.device_get(o[:1, :1]))
 
-    def timeit(fn, *a, n=3):
+    def timeit(fn, *a, n=10):
+        # dispatch all reps back-to-back and sync ONCE: on the tunneled
+        # axon platform a per-rep sync adds a full host<->device round
+        # trip (~10 ms) to every repetition, which inflated round-4's
+        # per-pass numbers vs the profiler's device-time attribution
+        # (49 ms "measured" vs 36.5 ms on device)
         sync(fn(*a))
         t0 = time.perf_counter()
+        o = None
         for _ in range(n):
-            sync(fn(*a))
+            o = fn(*a)
+        sync(o)
         return (time.perf_counter() - t0) / n
 
     out = {}
