@@ -367,6 +367,13 @@ def _fused_pass_kernel(
             prev_p = jnp.zeros((1, c4p), bool)
             all_temp = jnp.asarray(False)
         not_all_temp = jnp.logical_not(all_temp)
+        if "O" in skip:
+            # profiling-only (BNLK_KERNEL_SKIP=O): statically pretend
+            # every row is all-temporal — bounds the total cost of the
+            # spatial-fallback/edge predicate-driven work.  Output is
+            # wrong wherever a spatial site exists.
+            all_temp = jnp.asarray(True)
+            not_all_temp = jnp.asarray(False)
 
         # ---- packed bits layout: the (inner oy, inner ox) offsets live in
         # rows [0, n_ii) so the common all-temporal bisection scans 121
@@ -500,122 +507,183 @@ def _fused_pass_kernel(
             ]
             return jnp.concatenate(rows, axis=0) > 0.5      # (n_in1, C4p)
 
-        def phase_a(oyi, carry):
-            qy = step * sr + (oyi - rad)
-            row_ok = (qy >= qy_lo) & (qy < qy_hi)
-            ir_oy = jnp.abs(oyi - rad) <= rad_t
+        # static oy split (filter+has_prev): at OUTER-oy rows every
+        # candidate is spatial-only (cand subsets ~prev_p), so the
+        # temporal-stats/pbits sections are strict zeros and the inner-ox
+        # work matters only on the few 128-lane blocks holding a spatial
+        # own site.  The oy loop splits into three static ranges — the
+        # outer ranges run an all-ox per-block spatial-only body instead
+        # of the full-width inner group that computed zeros on ~99% of
+        # lanes every row (the frame-edge columns make not_all_temp fire
+        # on EVERY row of real content).
+        split_oy = mode == "filter" and has_prev and rad_t < rad
 
-            def group(oxis, ir, bsl=None, outer=False, pre=None):
-                # block mode: the (F, 128) distance arithmetic runs on
-                # one vreg block; the 1-row bits stores RMW the full row
-                # (Mosaic cannot store at a dynamic row + lane offset).
-                # outer offsets: prevc = cand & wv & prev_p == 0 exactly
-                # (cand subsets ~prev_p), so pbits stays INF — skip it.
-                def row_rmw(ref, o, val):
-                    if bsl is None:
-                        ref[pl.ds(o, 1)] = val
-                        return
-                    old = ref[pl.ds(o, 1)]
-                    bi = bsl.start // 128
-                    parts = [
-                        val if k == bi else old[:, k * 128:(k + 1) * 128]
-                        for k in range(c4p // 128)
-                    ]
-                    ref[pl.ds(o, 1)] = jnp.concatenate(parts, axis=1)
+        def make_phase_a(ir_static):
+            def phase_a(oyi, carry):
+                qy = step * sr + (oyi - rad)
+                row_ok = (qy >= qy_lo) & (qy < qy_hi)
+                ir_oy = (
+                    jnp.abs(oyi - rad) <= rad_t
+                    if ir_static is None else jnp.asarray(ir_static)
+                )
 
-                for oxi in oxis:
-                    p, delta = off_geom(oyi, oxi)
-                    if pre is not None:
-                        a = pre[oxi]
-                    else:
+                def group(oxis, ir, bsl=None, outer=False, pre=None):
+                    # block mode: the (F, 128) distance arithmetic runs
+                    # on one vreg block; the 1-row bits stores RMW the
+                    # full row (Mosaic cannot store at a dynamic row +
+                    # lane offset).  outer offsets: prevc = cand & wv &
+                    # prev_p == 0 exactly (cand subsets ~prev_p), so
+                    # pbits stays INF — skip it.
+                    def row_rmw(ref, o, val):
+                        if bsl is None:
+                            ref[pl.ds(o, 1)] = val
+                            return
+                        old = ref[pl.ds(o, 1)]
+                        bi = bsl.start // 128
+                        parts = [
+                            val if k == bi else old[:, k * 128:(k + 1) * 128]
+                            for k in range(c4p // 128)
+                        ]
+                        ref[pl.ds(o, 1)] = jnp.concatenate(parts, axis=1)
+
+                    for oxi in oxis:
+                        p, delta = off_geom(oyi, oxi)
+                        if pre is not None:
+                            a = pre[oxi]
+                        else:
+                            a = _roll(band_x[bslot(oyi), p], -delta,
+                                      interpret).astype(f32)
+                        cand = off_candidates(oyi, oxi, ir)
+                        o = obit(oyi, oxi)
+                        if bsl is not None:
+                            a = a[:, bsl]
+                            cand = cand[:, bsl]
+                        d = a - (xp if bsl is None else xp[:, bsl])
+                        dist = jnp.sum(d * d, axis=0, keepdims=True) * inv_f
+                        b = jnp.where(
+                            cand,
+                            jax.lax.bitcast_convert_type(dist, jnp.int32),
+                            inf_b,
+                        )
+                        row_rmw(bits_s, o, b)
+                        if has_prev and not outer:
+                            wv = _roll(
+                                band_d[bslot(oyi), p, f : f + 1, :], -delta,
+                                interpret
+                            ).astype(f32) > 0.5
+                            prevc = cand & (
+                                (wv & prev_p) if bsl is None
+                                else (wv[:, bsl] & prev_p[:, bsl])
+                            )
+                            row_rmw(pbits_s, opbit(oyi, oxi),
+                                    jnp.where(prevc, b, inf_b))
+
+                if ir_static is False:
+                    # outer-oy row: ALL offsets are spatial-only; run the
+                    # whole ox range per firing block (full-width rolls
+                    # shared), nothing full-width, no pbits
+                    @pl.when(row_ok & not_all_temp)
+                    def _():
+                        all_ox = list(range(n_off1))
+                        if c4p >= 256:
+                            pre = {
+                                oxi: _roll(
+                                    band_x[bslot(oyi),
+                                           off_geom(oyi, oxi)[0]],
+                                    -off_geom(oyi, oxi)[1], interpret,
+                                ).astype(f32)
+                                for oxi in all_ox
+                            }
+                            for bi in range(c4p // 128):
+                                @pl.when(blk_need[bi])
+                                def _(bi=bi):
+                                    group(all_ox, jnp.asarray(False),
+                                          bsl=slice(bi * 128,
+                                                    (bi + 1) * 128),
+                                          outer=True, pre=pre)
+                        else:
+                            group(all_ox, jnp.asarray(False), outer=True)
+                    return carry
+
+                pred = row_ok if ir_static else (
+                    row_ok & (not_all_temp | ir_oy))
+
+                @pl.when(pred)
+                def _():
+                    # batched inner-ox group: distances per offset (the
+                    # real work), then ONE masked bitcast/select; the
+                    # bits rows are CONTIGUOUS (inner_base) but Mosaic
+                    # only proves sublane alignment for single-row
+                    # dynamic stores, so the store is per-row (VMEM
+                    # traffic is identical)
+                    rows = []
+                    for oxi in oxis_inner_a:
+                        p, delta = off_geom(oyi, oxi)
                         a = _roll(band_x[bslot(oyi), p], -delta,
                                   interpret).astype(f32)
-                    cand = off_candidates(oyi, oxi, ir)
-                    o = obit(oyi, oxi)
-                    if bsl is not None:
-                        a = a[:, bsl]
-                        cand = cand[:, bsl]
-                    d = a - (xp if bsl is None else xp[:, bsl])
-                    dist = jnp.sum(d * d, axis=0, keepdims=True) * inv_f
+                        d = a - xp
+                        rows.append(
+                            jnp.sum(d * d, axis=0, keepdims=True) * inv_f)
+                    dist = jnp.concatenate(rows, axis=0)    # (n_in1, C4p)
+                    cand = inner_cand(ir_oy)
                     b = jnp.where(
                         cand, jax.lax.bitcast_convert_type(dist, jnp.int32),
-                        inf_b,
-                    )
-                    row_rmw(bits_s, o, b)
-                    if has_prev and not outer:
-                        wv = _roll(
-                            band_d[bslot(oyi), p, f : f + 1, :], -delta,
-                            interpret
-                        ).astype(f32) > 0.5
-                        prevc = cand & (
-                            (wv & prev_p) if bsl is None
-                            else (wv[:, bsl] & prev_p[:, bsl])
-                        )
-                        row_rmw(pbits_s, opbit(oyi, oxi),
-                                jnp.where(prevc, b, inf_b))
+                        inf_b)
+                    ib = inner_base(oyi)
+                    for i in range(n_in1):
+                        bits_s[pl.ds(ib + i, 1)] = b[i : i + 1]
+                    if has_prev:
+                        # prevc == 0 exactly for outer-oy rows (cand
+                        # subsets ~prev_p there): only inner-oy rows
+                        # store pbits
+                        prevc = cand & inner_wv(oyi) & prev_p
+                        pb = jnp.where(prevc, b, inf_b)
 
-            @pl.when(row_ok & (not_all_temp | ir_oy))
-            def _():
-                # batched inner-ox group: distances per offset (the real
-                # work), then ONE masked bitcast/select; the bits rows are
-                # CONTIGUOUS (inner_base) but Mosaic only proves sublane
-                # alignment for single-row dynamic stores, so the store is
-                # per-row (VMEM traffic is identical)
-                rows = []
-                for oxi in oxis_inner_a:
-                    p, delta = off_geom(oyi, oxi)
-                    a = _roll(band_x[bslot(oyi), p], -delta,
-                              interpret).astype(f32)
-                    d = a - xp
-                    rows.append(
-                        jnp.sum(d * d, axis=0, keepdims=True) * inv_f)
-                dist = jnp.concatenate(rows, axis=0)        # (n_in1, C4p)
-                cand = inner_cand(ir_oy)
-                b = jnp.where(
-                    cand, jax.lax.bitcast_convert_type(dist, jnp.int32),
-                    inf_b)
-                ib = inner_base(oyi)
-                for i in range(n_in1):
-                    bits_s[pl.ds(ib + i, 1)] = b[i : i + 1]
-                if has_prev:
-                    # prevc == 0 exactly for outer-oy rows (cand subsets
-                    # ~prev_p there), so only inner-oy rows store pbits
-                    prevc = cand & inner_wv(oyi) & prev_p
-                    pb = jnp.where(prevc, b, inf_b)
+                        def store_pb():
+                            pbase = (oyi - oy0) * n_in1
+                            for i in range(n_in1):
+                                pbits_s[pl.ds(pbase + i, 1)] = pb[i : i + 1]
 
-                    @pl.when(ir_oy)
+                        if ir_static:
+                            store_pb()
+                        else:
+                            pl.when(ir_oy)(store_pb)
+
+                if oxis_outer_a and not blk_gate:
+                    @pl.when(row_ok & not_all_temp)
                     def _():
-                        pbase = (oyi - oy0) * n_in1
-                        for i in range(n_in1):
-                            pbits_s[pl.ds(pbase + i, 1)] = pb[i : i + 1]
+                        group(oxis_outer_a, jnp.asarray(False), outer=True)
+                elif oxis_outer_a:
+                    # the full-width band rolls are shared across the
+                    # firing blocks (each block's group used to re-roll
+                    # all outer offsets); only the (F, 128) arithmetic
+                    # runs per block
+                    @pl.when(row_ok & not_all_temp)
+                    def _():
+                        pre = {
+                            oxi: _roll(
+                                band_x[bslot(oyi), off_geom(oyi, oxi)[0]],
+                                -off_geom(oyi, oxi)[1], interpret,
+                            ).astype(f32)
+                            for oxi in oxis_outer_a
+                        }
+                        for bi in range(c4p // 128):
+                            @pl.when(blk_need[bi])
+                            def _(bi=bi):
+                                group(oxis_outer_a, jnp.asarray(False),
+                                      bsl=slice(bi * 128, (bi + 1) * 128),
+                                      outer=True, pre=pre)
+                return carry
 
-            if oxis_outer_a and not blk_gate:
-                @pl.when(row_ok & not_all_temp)
-                def _():
-                    group(oxis_outer_a, jnp.asarray(False), outer=True)
-            elif oxis_outer_a:
-                # the full-width band rolls are shared across the firing
-                # blocks (each block's group used to re-roll all outer
-                # offsets); only the (F, 128) arithmetic runs per block
-                @pl.when(row_ok & not_all_temp)
-                def _():
-                    pre = {
-                        oxi: _roll(
-                            band_x[bslot(oyi), off_geom(oyi, oxi)[0]],
-                            -off_geom(oyi, oxi)[1], interpret,
-                        ).astype(f32)
-                        for oxi in oxis_outer_a
-                    }
-                    for bi in range(c4p // 128):
-                        @pl.when(blk_need[bi])
-                        def _(bi=bi):
-                            group(oxis_outer_a, jnp.asarray(False),
-                                  bsl=slice(bi * 128, (bi + 1) * 128),
-                                  outer=True, pre=pre)
-            return carry
+            return phase_a
 
         if "A" not in skip:
-            jax.lax.fori_loop(0, n_off1, phase_a, 0)
+            if split_oy:
+                jax.lax.fori_loop(0, oy0, make_phase_a(False), 0)
+                jax.lax.fori_loop(oy0, oy0 + n_in1, make_phase_a(True), 0)
+                jax.lax.fori_loop(oy0 + n_in1, n_off1, make_phase_a(False), 0)
+            else:
+                jax.lax.fori_loop(0, n_off1, make_phase_a(None), 0)
 
         # ---- phase B: k-th smallest thresholds by bit bisection ----
         if has_prev:
@@ -682,10 +750,13 @@ def _fused_pass_kernel(
         oxis_inner = [x for x in range(n_off1) if abs(x - rad) <= rad_t]
         oxis_outer = [x for x in range(n_off1) if abs(x - rad) > rad_t]
 
-        def phase_c(oyi, carry):
+        def phase_c(oyi, carry, ir_static=None):
             qy = step * sr + (oyi - rad)
             row_ok = (qy >= qy_lo) & (qy < qy_hi)
-            ir_oy = jnp.abs(oyi - rad) <= rad_t
+            ir_oy = (
+                jnp.abs(oyi - rad) <= rad_t
+                if ir_static is None else jnp.asarray(ir_static)
+            )
 
             def group(oxis, ir, bsl=None, outer=False, pre=None):
                 # outer (spatial-fallback) offsets admit candidates only
@@ -761,7 +832,36 @@ def _fused_pass_kernel(
                     acc_m0[:, sl] += l_m0
                     nrows_s[1:2, sl] += l_np0
 
-            @pl.when(row_ok & (not_all_temp | ir_oy))
+            if ir_static is False:
+                # outer-oy row: ALL offsets are spatial-only — the
+                # temporal stats are strict zeros and m1c/e2/np1 matter
+                # only on blocks with a spatial own site; run the whole
+                # ox range per firing block (full-width rolls shared)
+                @pl.when(row_ok & not_all_temp)
+                def _():
+                    all_ox = list(range(n_off1))
+                    if c4p >= 256:
+                        pre = {
+                            oxi: _roll(
+                                band_x[bslot(oyi), off_geom(oyi, oxi)[0]],
+                                -off_geom(oyi, oxi)[1], interpret,
+                            ).astype(f32)
+                            for oxi in all_ox
+                        }
+                        for bi in range(c4p // 128):
+                            @pl.when(blk_need[bi])
+                            def _(bi=bi):
+                                group(all_ox, jnp.asarray(False),
+                                      bsl=slice(bi * 128, (bi + 1) * 128),
+                                      outer=True, pre=pre)
+                    else:
+                        group(all_ox, jnp.asarray(False), outer=True)
+                return carry
+
+            pred_c = row_ok if ir_static else (
+                row_ok & (not_all_temp | ir_oy))
+
+            @pl.when(pred_c)
             def _():
                 # batched inner-ox group: ONE contiguous bits read + ONE
                 # threshold compare + batched mask algebra; the per-
@@ -775,21 +875,35 @@ def _fused_pass_kernel(
                     spc = sel1 & wvb & prev_p
                     spf = spc.astype(f32)
                     m0mb = (spc & (bmat <= thp)).astype(f32)
-                l_m1c = jnp.zeros((f, c4p), f32)
-                l_e2 = jnp.zeros((f, c4p), f32)
+                # spatial-side stats (m1c/e2/np1) feed phase D only on
+                # SPATIAL-mode lanes (temporal lanes select a_t/M0/np0),
+                # so with blk_need available they run per 128-lane block
+                # on the handful of blocks holding a spatial own site —
+                # the frame-edge/occlusion blocks — not full width on
+                # every row.  Per-lane accumulation order is unchanged,
+                # so firing blocks are bit-identical to the full-width
+                # path.
+                spat_blk = (mode == "filter" and has_prev and c4p >= 256)
+                if not spat_blk:
+                    l_m1c = jnp.zeros((f, c4p), f32)
+                    l_e2 = jnp.zeros((f, c4p), f32)
                 if has_prev:
                     l_m0v = jnp.zeros((f, c4p), f32)
                     l_e0 = jnp.zeros((f, c4p), f32)
                     l_v01 = jnp.zeros((f, c4p), f32)
                     l_m0 = jnp.zeros((f, c4p), f32)
+                rolled = []
                 for i, oxi in enumerate(oxis_inner):
                     p, delta = off_geom(oyi, oxi)
                     a = _roll(band_x[bslot(oyi), p], -delta,
                               interpret).astype(f32)
-                    wc = a - xp
-                    t1 = s1f[i : i + 1] * wc
-                    l_m1c += t1
-                    l_e2 += t1 * wc
+                    if spat_blk:
+                        rolled.append(a)
+                    else:
+                        wc = a - xp
+                        t1 = s1f[i : i + 1] * wc
+                        l_m1c += t1
+                        l_e2 += t1 * wc
                     if has_prev:
                         dall = _roll(band_d[bslot(oyi), p], -delta,
                                      interpret).astype(f32)
@@ -801,9 +915,28 @@ def _fused_pass_kernel(
                         dxw = dq - a
                         l_v01 += (spf[i : i + 1] * dxw) * dxw
                         l_m0 += m0mb[i : i + 1] * dq
-                acc_m1c[:] += l_m1c
-                acc_e2[:] += l_e2
-                nrows_s[0:1] += jnp.sum(s1f, axis=0, keepdims=True)
+                if spat_blk:
+                    for bi in range(c4p // 128):
+                        @pl.when(blk_need[bi])
+                        def _(bi=bi):
+                            bsl = slice(bi * 128, (bi + 1) * 128)
+                            xpb = xp[:, bsl]
+                            lm = jnp.zeros((f, 128), f32)
+                            le = jnp.zeros((f, 128), f32)
+                            for i2 in range(len(oxis_inner)):
+                                wc = rolled[i2][:, bsl] - xpb
+                                t1 = s1f[i2 : i2 + 1, bsl] * wc
+                                lm += t1
+                                le += t1 * wc
+                            sl = pl.ds(bi * 128, 128)
+                            acc_m1c[:, sl] += lm
+                            acc_e2[:, sl] += le
+                            nrows_s[0:1, sl] += jnp.sum(
+                                s1f[:, bsl], axis=0, keepdims=True)
+                else:
+                    acc_m1c[:] += l_m1c
+                    acc_e2[:] += l_e2
+                    nrows_s[0:1] += jnp.sum(s1f, axis=0, keepdims=True)
                 if has_prev:
                     acc_m0v[:] += l_m0v
                     acc_e0[:] += l_e0
@@ -835,7 +968,15 @@ def _fused_pass_kernel(
             return carry
 
         if "C" not in skip:
-            jax.lax.fori_loop(0, n_off1, phase_c, 0)
+            if split_oy:
+                jax.lax.fori_loop(
+                    0, oy0, lambda i, c: phase_c(i, c, False), 0)
+                jax.lax.fori_loop(
+                    oy0, oy0 + n_in1, lambda i, c: phase_c(i, c, True), 0)
+                jax.lax.fori_loop(
+                    oy0 + n_in1, n_off1, lambda i, c: phase_c(i, c, False), 0)
+            else:
+                jax.lax.fori_loop(0, n_off1, phase_c, 0)
 
         # ---- phase D: Kalman/Wiener update -> per-site specs ----
         np1 = nrows_s[0:1]
@@ -933,13 +1074,43 @@ def _fused_pass_kernel(
 
         wgt_own = wgt * own_f32
 
-        def phase_e(oyi, carry):
+        def phase_e(oyi, carry, ir_static=None):
             qy = step * sr + (oyi - rad)
             row_ok = (qy >= qy_lo) & (qy < qy_hi)
             slot = jnp.mod(step * sr + oyi, ah)
-            ir_oy = jnp.abs(oyi - rad) <= rad_t
+            ir_oy = (
+                jnp.abs(oyi - rad) <= rad_t
+                if ir_static is None else jnp.asarray(ir_static)
+            )
 
-            @pl.when(row_ok & (not_all_temp | ir_oy))
+            if ir_static is False:
+                # outer-oy row: members exist only on the rare
+                # spatial-mode lanes for EVERY offset (inner-ox included:
+                # cand subsets ~prev_p here, so mem == memsp) — run the
+                # whole ox range through the member-gated sparse path
+                # instead of the full-width batched FMAs
+                @pl.when(row_ok & not_all_temp)
+                def _():
+                    for oxi in range(n_off1):
+                        p, delta = off_geom(oyi, oxi)
+                        o = obit(oyi, oxi)
+                        b = bits_s[pl.ds(o, 1)]
+                        cand = off_candidates(oyi, oxi, jnp.asarray(False))
+                        sel1 = cand & (b <= th1)
+                        memw = (sel1 & (b <= tha)).astype(f32) * wgt_own
+
+                        @pl.when(jnp.sum(memw) > 0.0)
+                        def _(p=p, delta=delta, memw=memw):
+                            agg_g[slot, p] += _roll(
+                                memw * gspec, delta, interpret)
+                            agg_bw[slot, p] += _roll(
+                                memw * bwspec, delta, interpret)
+                return carry
+
+            pred_e = row_ok if ir_static else (
+                row_ok & (not_all_temp | ir_oy))
+
+            @pl.when(pred_e)
             def _():
                 # batched inner-ox group: ONE bits read + batched member
                 # mask algebra; per offset only the (1, C4p) weight-row
@@ -1029,7 +1200,15 @@ def _fused_pass_kernel(
             return carry
 
         if "E" not in skip:
-            jax.lax.fori_loop(0, n_off1, phase_e, 0)
+            if split_oy:
+                jax.lax.fori_loop(
+                    0, oy0, lambda i, c: phase_e(i, c, False), 0)
+                jax.lax.fori_loop(
+                    oy0, oy0 + n_in1, lambda i, c: phase_e(i, c, True), 0)
+                jax.lax.fori_loop(
+                    oy0 + n_in1, n_off1, lambda i, c: phase_e(i, c, False), 0)
+            else:
+                jax.lax.fori_loop(0, n_off1, phase_e, 0)
 
     # ---- in-kernel finalization of retired patch rows ----------------
     # Patch rows [step*sr - rad, +step) have received every contribution

@@ -64,7 +64,7 @@ def _droll(x, sh, interpret):
 
 def _level_kernel(
     i0_ref, i1p_ref, u_ref, mi_ref, lam_ref, uout_ref,
-    u1s, u2s, ps, cs, hwin,
+    us, ps, cs, hwin,
     *, h, w, hp, ln, nwarps, tau, theta, epsilon,
     k_check, sdt, interpret,
 ):
@@ -78,8 +78,10 @@ def _level_kernel(
     max_iters = mi_ref[0]
     l_t = lam_ref[0] * theta
 
-    u1s[:] = u_ref[0]
-    u2s[:] = u_ref[1]
+    us[:] = u_ref[:]
+    # dual planes, STACKED by difference direction so the iteration
+    # operates on (2, hp, ln) component pairs: ps[0:2] = (p11, p21)
+    # (x-differences of u1/u2), ps[2:4] = (p12, p22) (y-differences)
     ps[:] = jnp.zeros((4, hp, ln), sdt)
 
     gy = jax.lax.broadcasted_iota(i32, (hp, ln), 0)
@@ -93,20 +95,28 @@ def _level_kernel(
     last_row = gy >= h - 1
     last_col = gx >= w - 1
     inframe = (gy < h) & (gx < w)
+    # 0/1 multiply masks instead of selects: the iteration runs on
+    # stacked (2, hp, ln) component pairs and a multiply broadcasts over
+    # the leading axis where an i1-select would not lower
+    mcol = jnp.where(last_col, 0.0, 1.0)[None]          # (1, hp, ln)
+    mrow = jnp.where(last_row, 0.0, 1.0)[None]
+    minf = jnp.where(inframe, 1.0, 0.0)[None]
 
+    # rolls on the stacked (2, hp, ln) planes: axis 1 = rows (sublanes),
+    # axis 2 = lanes; the leading component axis is pure addressing
     def shift_down(x):
-        return pltpu.roll(x, 1, 0) if not interpret else jnp.roll(x, 1, 0)
-
-    def shift_up(x):
-        return (pltpu.roll(x, hp - 1, 0) if not interpret
-                else jnp.roll(x, -1, 0))
-
-    def shift_right(x):
         return pltpu.roll(x, 1, 1) if not interpret else jnp.roll(x, 1, 1)
 
-    def shift_left(x):
-        return (pltpu.roll(x, ln - 1, 1) if not interpret
+    def shift_up(x):
+        return (pltpu.roll(x, hp - 1, 1) if not interpret
                 else jnp.roll(x, -1, 1))
+
+    def shift_right(x):
+        return pltpu.roll(x, 1, 2) if not interpret else jnp.roll(x, 1, 2)
+
+    def shift_left(x):
+        return (pltpu.roll(x, ln - 1, 2) if not interpret
+                else jnp.roll(x, -1, 2))
 
     # ---------------- in-kernel shift-select bicubic warp ----------------
     def do_warp():
@@ -116,8 +126,8 @@ def _level_kernel(
 
         def blk_body(b, carry):
             r0 = b * 8
-            u1b = u1s[pl.ds(r0, 8), :].astype(f32)
-            u2b = u2s[pl.ds(r0, 8), :].astype(f32)
+            u1b = us[0, pl.ds(r0, 8), :].astype(f32)
+            u2b = us[1, pl.ds(r0, 8), :].astype(f32)
             lane = jax.lax.broadcasted_iota(i32, (8, ln), 1)
             rowi = jax.lax.broadcasted_iota(i32, (8, ln), 0) + r0
             inb32 = jnp.where((rowi < h) & (lane < w), 1.0, 0.0)
@@ -210,47 +220,37 @@ def _level_kernel(
     # (rho = rho_c + gx*u amplifies u's ulp by image-scale gradients)
     # and rho_c carries image-scale values, so the warp constants stay
     # f32 too.  All arithmetic runs in f32.
-    def one_iter(u1, u2, p11, p12, p21, p22, i1wx, i1wy, nig, rho_c):
-        u1, u2, p11, p12, p21, p22, i1wx, i1wy, nig, rho_c = (
-            x.astype(f32)
-            for x in (u1, u2, p11, p12, p21, p22, i1wx, i1wy, nig, rho_c)
-        )
-        rho = rho_c + i1wx * u1 + i1wy * u2
+    #
+    # STACKED form: the u1/u2 chains are identical elementwise programs,
+    # so they run as ONE (2, hp, ln) op stream (U; PA = (p11, p21) the
+    # x-difference duals; PB = (p12, p22) the y-difference duals).  The
+    # measured streaming rate of a serial chain of full-plane ops is
+    # ~half the ILP rate (tools/vpu_probe.py fma1 vs fma8) — halving the
+    # op count at double width recovers most of that gap.  Per-element
+    # arithmetic and order are unchanged vs the unstacked form.
+    def one_iter(U, PA, PB, IG, nig, rho_c):
+        U, PA, PB, IG, nig, rho_c = (
+            x.astype(f32) for x in (U, PA, PB, IG, nig, rho_c))
+        t = IG * U
+        rho = rho_c + t[0] + t[1]
         # clamp form of the TV-L1 threshold step (tvl1flow_lib.c:195-217):
         # nig = -1/grad precomputed per warp stage; deviation only where
         # grad < GRAD_IS_ZERO and rho != 0 (there |i1wx| < 1e-5 so the C
         # branch value l_t*i1wx < 5e-7 ~ the clamp's 0)
-        fi = jnp.clip(rho * nig, -l_t, l_t)
-        v1 = u1 + fi * i1wx
-        v2 = u2 + fi * i1wy
+        fi = jnp.clip(rho * nig, -l_t, l_t)[None]
+        V = U + fi * IG
 
-        def div(pa, pb):
-            # pa is 0 at cols >= w-1 and pb is 0 at rows >= h-1 (the
-            # widened fgrad masks keep them so), hence the backward
-            # differences with cyclic rolls are exact at both borders
-            return (pa - shift_right(pa)) + (pb - shift_down(pb))
+        # PA is 0 at cols >= w-1 and PB is 0 at rows >= h-1 (the widened
+        # fgrad masks keep them so), hence the backward differences with
+        # cyclic rolls are exact at both borders
+        DIV = (PA - shift_right(PA)) + (PB - shift_down(PB))
+        Un = V + theta * DIV
 
-        u1n = v1 + theta * div(p11, p12)
-        u2n = v2 + theta * div(p21, p22)
-
-        def fgrad(u):
-            ux = jnp.where(last_col, 0.0, shift_left(u) - u)
-            uy = jnp.where(last_row, 0.0, shift_up(u) - u)
-            return ux, uy
-
-        u1x, u1y = fgrad(u1n)
-        u2x, u2y = fgrad(u2n)
-        g1 = jnp.sqrt(u1x * u1x + u1y * u1y)
-        g2 = jnp.sqrt(u2x * u2x + u2y * u2y)
-        r1 = 1.0 / (1.0 + taut * g1)
-        r2 = 1.0 / (1.0 + taut * g2)
-        return (
-            u1n, u2n,
-            (p11 + taut * u1x) * r1,
-            (p12 + taut * u1y) * r1,
-            (p21 + taut * u2x) * r2,
-            (p22 + taut * u2y) * r2,
-        )
+        UX = (shift_left(Un) - Un) * mcol
+        UY = (shift_up(Un) - Un) * mrow
+        G = jnp.sqrt(UX * UX + UY * UY)
+        R = 1.0 / (1.0 + taut * G)
+        return Un, (PA + taut * UX) * R, (PB + taut * UY) * R
 
     # warp stages and iterations as DEVICE loops (fori/while), not Python
     # unrolls — the unrolled kernel's Mosaic compile took minutes per
@@ -258,54 +258,45 @@ def _level_kernel(
     # at negligible runtime cost (the loop bodies are full-plane passes)
     def warp_stage(_w, carry):
         do_warp()
-        i1wx, i1wy = cs[0], cs[1]
+        IG = cs[0:2]
         nig, rho_c = cs[2], cs[3]
 
         # the state planes ride the while CARRY: flushing them to the
-        # named scratches once per ROUND added 6 plane copies per
-        # k_check iterations; now they flush once per warp stage (only
-        # do_warp's row slices need u in a scratch ref)
+        # named scratches once per ROUND added plane copies per k_check
+        # iterations; now they flush once per warp stage (only do_warp's
+        # row slices need u in a scratch ref)
         def cond(c):
             return (c[0] > epsilon * epsilon) & (c[1] < max_iters)
 
         def body(c):
-            _, n, u1, u2, p11, p12, p21, p22 = c
+            _, n, U, PA, PB = c
 
             def iter_body(_j, st):
-                o = one_iter(*st, i1wx, i1wy, nig, rho_c)
-                return o[:2] + tuple(x.astype(sdt) for x in o[2:])
+                Un, PAn, PBn = one_iter(*st, IG, nig, rho_c)
+                return Un, PAn.astype(sdt), PBn.astype(sdt)
 
-            u1, u2, p11, p12, p21, p22 = jax.lax.fori_loop(
-                0, k_check - 1, iter_body, (u1, u2, p11, p12, p21, p22)
+            U, PA, PB = jax.lax.fori_loop(
+                0, k_check - 1, iter_body, (U, PA, PB)
             )
-            u1p, u2p = u1, u2
-            u1, u2, p11, p12, p21, p22 = one_iter(
-                u1, u2, p11, p12, p21, p22, i1wx, i1wy, nig, rho_c
-            )
-            du1 = jnp.where(inframe, u1 - u1p, 0.0)
-            du2 = jnp.where(inframe, u2 - u2p, 0.0)
-            err = (jnp.sum(du1 * du1) + jnp.sum(du2 * du2)) / (h * w)
-            return (err, n + k_check, u1, u2,
-                    p11.astype(sdt), p12.astype(sdt),
-                    p21.astype(sdt), p22.astype(sdt))
+            Up = U
+            U, PA, PB = one_iter(U, PA, PB, IG, nig, rho_c)
+            dU = (U - Up) * minf
+            err = jnp.sum(dU * dU) / (h * w)
+            return (err, n + k_check, U, PA.astype(sdt), PB.astype(sdt))
 
         out = jax.lax.while_loop(
             cond, body,
             (jnp.asarray(jnp.inf, f32), jnp.asarray(0, i32),
-             u1s[:], u2s[:], ps[0], ps[1], ps[2], ps[3]),
+             us[:], ps[0:2], ps[2:4]),
         )
-        u1s[:] = out[2]
-        u2s[:] = out[3]
-        ps[0] = out[4]
-        ps[1] = out[5]
-        ps[2] = out[6]
-        ps[3] = out[7]
+        us[:] = out[2]
+        ps[0:2] = out[3]
+        ps[2:4] = out[4]
         return carry
 
     jax.lax.fori_loop(0, nwarps, warp_stage, 0)
 
-    uout_ref[0] = u1s[:]
-    uout_ref[1] = u2s[:]
+    uout_ref[:] = us[:]
 
 
 def _plan(h: int, w: int) -> tuple[int, int, int]:
@@ -383,8 +374,7 @@ def tvl1_single_scale_fused(
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((2, hp, ln), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((hp, ln), jnp.float32),
-            pltpu.VMEM((hp, ln), jnp.float32),
+            pltpu.VMEM((2, hp, ln), jnp.float32),
             pltpu.VMEM((4, hp, ln), sdt),
             pltpu.VMEM((4, hp, ln), jnp.float32),
             pltpu.VMEM((4, 4, 8, ln), jnp.float32),
