@@ -128,7 +128,11 @@ def main():
     p2 = default_params(sigma, FilterMode.FLT2)
     ps = default_params(sigma, FilterMode.SMO1)
     cfg = FlowConfig()
-    cfg_warm = FlowConfig(warm_start=True)
+    # reduced warm effort (3 re-linearization stages instead of 5): a
+    # converged carry needs fewer warp stages than a zero iterate —
+    # PSNR-gated in-suite by tests/test_warm_effort_gate.py; the residual
+    # gate still falls back to the full-effort cold pyramid on scene cuts
+    cfg_warm = FlowConfig(warm_start=True, warm_nwarps=3)
 
     noisy_np, noisy_wc_np = make_content(h, w, frames, sigma)
     noisy = jnp.asarray(noisy_np)

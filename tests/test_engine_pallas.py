@@ -11,6 +11,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from bwd_nlkalman_tpu.core.engine import dense_pass_v2
 from bwd_nlkalman_tpu.core.engine_pallas import (
     dense_pass_pallas,

@@ -7,6 +7,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from bwd_nlkalman_tpu.core import nlkalman_filter_frame, nlkalman_smooth_frame
 from bwd_nlkalman_tpu.parallel import make_mesh, spatial_filter_frame, spatial_smooth_frame
 from bwd_nlkalman_tpu.params import NLKParams

@@ -11,6 +11,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from bwd_nlkalman_tpu.parallel import make_mesh
 from bwd_nlkalman_tpu.parallel.sequence import denoise_sequence_sharded
 from bwd_nlkalman_tpu.pipeline.sequence import denoise_sequence, FlowConfig

@@ -7,6 +7,8 @@ import numpy as np
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from bwd_nlkalman_tpu.pipeline import (
     add_noise_sequence, denoise_sequence, filter_sequence, smooth_sequence,
     sequence_psnr, FlowConfig,

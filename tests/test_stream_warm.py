@@ -6,6 +6,10 @@ and warm-starts every further frame (step_warm), mirroring
 filter_sequence's peeled warm scan exactly.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 import jax.numpy as jnp
 
