@@ -579,6 +579,8 @@ def _fused_pass_kernel(
                                     jnp.where(prevc, b, inf_b))
 
                 if ir_static is False:
+                    if "P" in skip:
+                        return carry
                     # outer-oy row: ALL offsets are spatial-only; run the
                     # whole ox range per firing block (full-width rolls
                     # shared), nothing full-width, no pbits
@@ -649,7 +651,9 @@ def _fused_pass_kernel(
                         else:
                             pl.when(ir_oy)(store_pb)
 
-                if oxis_outer_a and not blk_gate:
+                if "P" in skip:
+                    pass
+                elif oxis_outer_a and not blk_gate:
                     @pl.when(row_ok & not_all_temp)
                     def _():
                         group(oxis_outer_a, jnp.asarray(False), outer=True)
@@ -833,6 +837,8 @@ def _fused_pass_kernel(
                     nrows_s[1:2, sl] += l_np0
 
             if ir_static is False:
+                if "P" in skip:
+                    return carry
                 # outer-oy row: ALL offsets are spatial-only — the
                 # temporal stats are strict zeros and m1c/e2/np1 matter
                 # only on blocks with a spatial own site; run the whole
@@ -944,7 +950,9 @@ def _fused_pass_kernel(
                     acc_m0[:] += l_m0
                     nrows_s[1:2] += jnp.sum(spf, axis=0, keepdims=True)
 
-            if oxis_outer and not blk_gate:
+            if "P" in skip:
+                pass
+            elif oxis_outer and not blk_gate:
                 @pl.when(row_ok & not_all_temp)
                 def _():
                     group(oxis_outer, jnp.asarray(False), outer=True)
@@ -1084,6 +1092,8 @@ def _fused_pass_kernel(
             )
 
             if ir_static is False:
+                if "P" in skip:
+                    return carry
                 # outer-oy row: members exist only on the rare
                 # spatial-mode lanes for EVERY offset (inner-ox included:
                 # cand subsets ~prev_p here, so mem == memsp) — run the
@@ -1153,7 +1163,9 @@ def _fused_pass_kernel(
                     if smooth:
                         agg_gd[slot, p] += l_gd[p]
 
-            if outer_dense:
+            if "P" in skip:
+                pass
+            elif outer_dense:
                 # dense case (has_prev=False or narrow c4p): every offset
                 # has members on every firing row, so per-offset gating
                 # and unhoisted full-plane rolls would pay maximal cost —
@@ -1573,6 +1585,7 @@ def dense_pass_pallas_xstrips(
     window_dtype: str = "float32",
     interpret: bool = False,
     dyn: dict | None = None,
+    bounds: list | None = None,
 ):
     """The fused pass over column strips with halo overlap-add.
 
@@ -1583,6 +1596,9 @@ def dense_pass_pallas_xstrips(
     aggregation restricted to OWN site lanes (site_lanes) — the strips'
     pre-normalization accumulators then overlap-add exactly like the
     row-sharded path's halo fold.
+
+    ``bounds`` (site-column indices, len n+1) overrides the even split —
+    dense_pass_pallas_edgesplit uses [0, e, ns-e, ns].
     """
     h, w, ch = cur.shape
     psz = prms.patch_sz
@@ -1592,7 +1608,9 @@ def dense_pass_pallas_xstrips(
     ww = w - psz + 1
     ns = (ww - 1) // step + 1
     halo_px = _cdiv(rad, step) * step
-    bounds = [round(i * ns / n_strips) for i in range(n_strips + 1)]
+    if bounds is None:
+        bounds = [round(i * ns / n_strips) for i in range(n_strips + 1)]
+    n_strips = len(bounds) - 1
 
     out_acc = jnp.zeros((h, w, ch), jnp.float32)
     agg_acc = jnp.zeros((h, w), jnp.float32)
@@ -1617,3 +1635,47 @@ def dense_pass_pallas_xstrips(
         covered[..., None],
         out_acc / jnp.maximum(agg_acc, 1e-6)[..., None], cur,
     )
+
+
+def dense_pass_pallas_edgesplit(
+    cur, prev, prev_valid, basic, sigma, prms, mode, has_prev, has_basic,
+    edge_sites: int = 2,
+    return_accum: bool = False,
+    window_dtype: str = "float32",
+    interpret: bool = False,
+    dyn: dict | None = None,
+):
+    """Edge-hybrid ownership split of the fused filter pass.
+
+    The frame-border site columns always lack a valid temporal patch
+    (the reference's NaN-footprint bicubic warp invalidates a ~2 px
+    border band, src/nlkalman.c:29-34,71-88), which forces the
+    spatial-fallback machinery — full-width band pre-rolls for all 441
+    window offsets — to fire on EVERY row of the full-width pass:
+    measured 41 ms vs 17 ms with the fallback disabled (1080p gray).
+
+    Split OWNERSHIP instead of width: a full-width middle pass owns the
+    interior site columns (its rows are then genuinely all-temporal on
+    temporally-covered content and take the predicated fast path), and
+    two narrow edge strips (~24 px + halo) own the border sites and run
+    the full spatial machinery at ~1/4-vreg width.  Contributions
+    overlap-add pre-normalization exactly like dense_pass_pallas_xstrips
+    (site_lanes ownership), so the result is the single-pass result.
+    Interior occlusion blobs are still handled by the middle pass's
+    per-block predicates at their usual cost.
+    """
+    h, w, ch = cur.shape
+    psz = prms.patch_sz
+    step = psz // 2
+    ww = w - psz + 1
+    ns = (ww - 1) // step + 1
+    e = edge_sites
+    if ns <= 4 * e:  # tiny frames: the split buys nothing
+        return dense_pass_pallas(
+            cur, prev, prev_valid, basic, sigma, prms, mode, has_prev,
+            has_basic, return_accum=return_accum,
+            window_dtype=window_dtype, interpret=interpret, dyn=dyn)
+    return dense_pass_pallas_xstrips(
+        cur, prev, prev_valid, basic, sigma, prms, mode, has_prev,
+        has_basic, return_accum=return_accum, window_dtype=window_dtype,
+        interpret=interpret, dyn=dyn, bounds=[0, e, ns - e, ns])

@@ -446,13 +446,25 @@ def nlkalman_filter_frame(
     engine = _pick_engine(engine, h, w, ch, prms, "filter")
     if engine == "pallas":
         import os
-        from .engine_pallas import dense_pass_pallas
+        from .engine_pallas import (
+            dense_pass_pallas, dense_pass_pallas_edgesplit)
 
+        wdt = os.environ.get("BNLK_WINDOW_DTYPE", "float32")
+        # edge-hybrid ownership split (see dense_pass_pallas_edgesplit).
+        # OPT-IN (BNLK_EDGESPLIT=1): measured SLOWER at 1080p gray
+        # (49.2 ms vs 41.2 ms) — the narrow edge strips pay the same
+        # 128-lane vreg-width floor as the in-band spatial fallback plus
+        # a duplicated grid skeleton, so the split only pays on shapes
+        # where the middle pass dwarfs the strips (e.g. very wide
+        # frames).  Kept parity-tested for such dispatch experiments.
+        if (has_prev and prms.search_sz_x > prms.search_sz_t
+                and os.environ.get("BNLK_EDGESPLIT", "0") == "1"):
+            return dense_pass_pallas_edgesplit(
+                nisy, deno0, prev_valid, basic, float(sigma), prms,
+                "filter", has_prev, has_basic, window_dtype=wdt, dyn=dyn)
         return dense_pass_pallas(
             nisy, deno0, prev_valid, basic, float(sigma), prms, "filter",
-            has_prev, has_basic,
-            window_dtype=os.environ.get("BNLK_WINDOW_DTYPE", "float32"),
-            dyn=dyn,
+            has_prev, has_basic, window_dtype=wdt, dyn=dyn,
         )
     if engine.startswith("pallas-strips"):
         import os

@@ -93,6 +93,34 @@ def test_pallas_matches_v2_wide_blockgate(rng):
     np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-2)
 
 
+def test_edgesplit_matches_v2(rng):
+    """Edge-hybrid ownership split (border site columns owned by narrow
+    strips, interior by a full-width pass) == v2 on a frame with the
+    realistic validity pattern: invalid warp border band + an interior
+    occlusion blob."""
+    from bwd_nlkalman_tpu.core.engine_pallas import (
+        dense_pass_pallas_edgesplit)
+
+    sigma = 20.0
+    h, w = 24, 560
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    clean = (100 + 60 * np.sin(0.07 * xx) + 50 * np.cos(0.13 * yy))[..., None]
+    clean = clean.astype(np.float32)
+    cur = clean + sigma * rng.standard_normal(clean.shape).astype(np.float32)
+    prev = clean + 2 * rng.standard_normal(clean.shape).astype(np.float32)
+    valid = np.ones((h, w), bool)
+    valid[:, :2] = valid[:, -2:] = False    # warp border band
+    valid[:2] = valid[-2:] = False
+    valid[8:12, 300:330] = False            # interior occlusion blob
+    prev = np.where(valid[..., None], prev, 0.0)
+
+    args = (jnp.asarray(cur), jnp.asarray(prev), jnp.asarray(valid),
+            jnp.asarray(cur), sigma, PRMS, "filter", True, False)
+    want = np.asarray(dense_pass_v2(*args))
+    got = np.asarray(dense_pass_pallas_edgesplit(*args, interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=5e-2)
+
+
 def test_supported_predicate():
     p = NLKParams(
         patch_sz=8, search_sz_x=10, search_sz_t=5,

@@ -8,16 +8,25 @@ so the numbers answer "how close is the kernel to the minimum work the
 algorithm requires at hardware speed".
 
 Peaks used (TPU v5e, one chip):
-- VPU elementwise f32:  ~3.95 TFLOP/s (8x128 lanes x 4 ALUs x 0.94 GHz)
+- VPU nameplate f32:    ~3.95 TFLOP/s (8x128 lanes x 4 ALUs x 0.94 GHz)
+- VPU MEASURED practical: ~0.81 TFLOP/s — tools/vpu_probe.py measured
+  this chip sustains only ~0.38-0.46 vector-register ops/cycle for
+  VMEM-streaming elementwise chains (FMA counted as one op; the planes
+  of these kernels exceed the register file, so every op streams VMEM),
+  and bf16 gives no packed-math gain.  The nameplate 4-ALU figure is
+  unreachable for this instruction mix; `vpu_util` (vs nameplate) is
+  kept for continuity and `vpu_util_practical` (vs measured) reports
+  how close a kernel is to what the machine actually delivers.
 - MXU bf16 matmul:      ~197 TFLOP/s (f32 operands ~1/4 of that)
 - HBM bandwidth:        ~819 GB/s
 
 The NL-Kalman pass is VPU-dominated (distances/statistics are rolled
 elementwise ops; only the in-kernel DCT rides the MXU), and its working
 set is VMEM-resident (HBM traffic = raw rows in + pixel rows out), so
-the binding roofline is VPU throughput.  TV-L1's fused level is pure
-VPU with the whole state in VMEM: VPU-bound with a sequential
-dependency chain between iterations.
+the binding roofline is VPU/VMEM streaming throughput.  TV-L1's fused
+level is pure VPU with the whole state in VMEM and a SERIAL dependency
+chain between iterations (the serial-chain streaming rate is ~half the
+ILP rate per the probe).
 
 Usage:
   python tools/mfu.py                # measure on the current backend
@@ -29,7 +38,10 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
 
-VPU_PEAK = 3.95e12     # f32 elementwise FLOP/s
+VPU_PEAK = 3.95e12     # nameplate f32 elementwise FLOP/s
+# measured practical streaming ceiling (tools/vpu_probe.py, real v5e):
+# ~0.42 vreg-ops/cycle * 1024 lanes * 2 FLOP(FMA) * 0.94 GHz
+VPU_PRACTICAL = 0.81e12
 MXU_PEAK_BF16 = 197e12
 HBM_BW = 819e9
 
@@ -131,6 +143,7 @@ def measure():
     out["nlk_filter"] = dict(
         ms=dt * 1e3, vpu_gflop=vpu / 1e9, mxu_gflop=mxu / 1e9,
         vpu_util=vpu / dt / VPU_PEAK,
+        vpu_util_practical=vpu / dt / VPU_PRACTICAL,
         mxu_util=mxu / dt / MXU_PEAK_BF16)
 
     ps = default_params(sigma, FilterMode.SMO1)
@@ -140,6 +153,7 @@ def measure():
     out["nlk_smooth"] = dict(
         ms=dt * 1e3, vpu_gflop=vpu / 1e9, mxu_gflop=mxu / 1e9,
         vpu_util=vpu / dt / VPU_PEAK,
+        vpu_util_practical=vpu / dt / VPU_PRACTICAL,
         mxu_util=mxu / dt / MXU_PEAK_BF16)
 
     # fused TV-L1 level at the production fscale=1 resolution; epsilon=0
@@ -163,7 +177,8 @@ def measure():
         fl = nwarps * (iters * tvl1_iter_flops(fh, fw) + tvl1_warp_flops(fh, fw))
         out["tvl1_level_540"] = dict(
             ms=dt * 1e3, vpu_gflop=fl / 1e9, iters=nwarps * iters,
-            vpu_util=fl / dt / VPU_PEAK)
+            vpu_util=fl / dt / VPU_PEAK,
+            vpu_util_practical=fl / dt / VPU_PRACTICAL)
 
     return out
 
