@@ -62,6 +62,17 @@ def measure():
     out = {}
     flow_fn = jax.jit(lambda a, b: tvl1_flow(a, b, fscale=1))
     out["flow_1080p_fscale1_ms"] = timeit(lambda: flow_fn(i0, i1))
+    # the PRODUCTION per-frame flow cost: the scan drivers carry the
+    # level-fscale flow between frames and re-solve only that level at
+    # reduced effort (bench default warm_nwarps=3, PSNR-gated by
+    # tests/test_warm_effort_gate.py); the cold pyramid above is paid
+    # only at scene cuts
+    from bwd_nlkalman_tpu.flow.tvl1 import tvl1_flow_warm
+
+    _, carry = tvl1_flow(i0, i1, fscale=1, return_carry=True)
+    warm_fn = jax.jit(lambda a, b, u: tvl1_flow_warm(
+        a, b, u, fscale=1, warm_nwarps=3)[0])
+    out["flow_warm_1080p_ms"] = timeit(lambda: warm_fn(i0, i1, carry))
     out["nlk_filter_1080p_ms"] = timeit(lambda: dense_pass_pallas(
         cur, prev, valid, cur, 20.0, p1, "filter", True, False,
         window_dtype="bfloat16"))
