@@ -20,8 +20,11 @@ import jax  # noqa: E402
 # the env var alone does not override the axon TPU plugin — force CPU here
 jax.config.update("jax_platforms", "cpu")
 
-# persistent compilation cache: TV-L1/filter kernels compile once per shape
-jax.config.update("jax_compilation_cache_dir", "/tmp/bnlk_jax_cache")
+# persistent compilation cache: TV-L1/filter kernels compile once per shape.
+# Tests get their OWN directory: concurrent writers (bench/parity jobs on
+# the chip share /tmp/bnlk_jax_cache) have produced segfaults inside
+# compilation_cache.put_executable_and_time when racing a test run.
+jax.config.update("jax_compilation_cache_dir", "/tmp/bnlk_jax_cache_tests")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
